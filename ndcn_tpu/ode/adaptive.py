@@ -1,0 +1,228 @@
+"""Adaptive Runge-Kutta integration (dopri5 / tsit5), TPU-native.
+
+The reference advances one observation time at a time with a python ``while`` loop
+around single steps (/root/reference/torchdiffeq/_impl/solvers.py:25-33,
+dopri5.py:85-92) — interpreter-bound, one kernel launch per RHS eval. Here the whole
+solve is a single compiled program, with two execution strategies sharing one step
+function:
+
+- ``solve_while``: a ``lax.while_loop`` that interleaves adaptive step attempts with
+  observation-time consumption (dense-output interpolation). Minimal FLOPs; used for
+  inference / ground-truth generation. Not reverse-differentiable (JAX cannot
+  reverse an unbounded while_loop).
+
+- ``solve_scan``: a bounded ``lax.scan`` over ``max_steps`` step attempts with
+  masked freezing once the final time is reached. Fully reverse-differentiable —
+  and, like the reference's default backprop-through-solver path, gradients flow
+  through the step-size controller and rejected steps. Observation times are then
+  evaluated by a vectorized searchsorted + gather over the per-step dense-output
+  states.
+
+Step-control semantics match the reference exactly (see step_control.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ndcn_tpu.ode import interp as interp_lib
+from ndcn_tpu.ode.runge_kutta import runge_kutta_step
+from ndcn_tpu.ode.step_control import (Controller, accept_and_max_ratio,
+                                       error_ratios, optimal_step_size,
+                                       select_initial_step)
+from ndcn_tpu.ode.tableaux import DOPRI5, TSIT5, Tableau
+from ndcn_tpu.ode.tree_math import tree_map, tree_where
+
+# Matches the reference's initial-step-selection order argument (dopri5.py:81, a
+# deliberate quirk: order 4 is passed for the 5th-order methods).
+_INIT_STEP_ORDER = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptiveMethod:
+    name: str
+    tableau: Tableau
+    interp_init: Callable
+    interp_make: Callable
+    interp_eval: Callable
+
+
+DOPRI5_METHOD = AdaptiveMethod(
+    name="dopri5",
+    tableau=DOPRI5,
+    interp_init=interp_lib.dopri5_interp_init,
+    interp_make=interp_lib.dopri5_interp_state,
+    interp_eval=interp_lib.dopri5_interp_eval,
+)
+
+TSIT5_METHOD = AdaptiveMethod(
+    name="tsit5",
+    tableau=TSIT5,
+    interp_init=interp_lib.tsit5_interp_init,
+    interp_make=interp_lib.tsit5_interp_state,
+    interp_eval=interp_lib.tsit5_interp_eval,
+)
+
+
+class SolveStats(NamedTuple):
+    nfe: jnp.ndarray          # number of RHS evaluations
+    n_accepted: jnp.ndarray
+    n_rejected: jnp.ndarray
+    success: jnp.ndarray      # all observation times reached within max_steps
+
+
+def _n_new_evals(tableau: Tableau) -> int:
+    return len(tableau.alpha)  # f0 is reused from the previous step (FSAL)
+
+
+def _attempt_step(method: AdaptiveMethod, func, rk, ctrl: Controller, tdtype):
+    """One accept-or-reject adaptive step, branch-free.
+
+    ``rk`` carries the reference's ``_RungeKuttaState`` fields (rk_common.py:8):
+    y/f at t1, the last accepted interval [t0, t1] with its interp state, and the
+    proposed next dt.
+    """
+    y1, f1, y1_error, k = runge_kutta_step(func, rk["y"], rk["f"], rk["t1"], rk["dt"],
+                                           method.tableau)
+    ratios = error_ratios(y1_error, rk["y"], y1, ctrl.rtol, ctrl.atol, tdtype)
+    accept, max_ratio = accept_and_max_ratio(ratios)
+    dt_next = optimal_step_size(rk["dt"], max_ratio, ctrl)
+    new_interp = method.interp_make(rk["y"], y1, k, rk["dt"])
+
+    out = dict(
+        y=tree_where(accept, y1, rk["y"]),
+        f=tree_where(accept, f1, rk["f"]),
+        t0=jnp.where(accept, rk["t1"], rk["t0"]),
+        t1=jnp.where(accept, rk["t1"] + rk["dt"], rk["t1"]),
+        dt=dt_next,
+        interp=tree_where(accept, new_interp, rk["interp"]),
+    )
+    return out, accept
+
+
+def _init_rk_state(method, func, y0, t0, ctrl, first_step, tdtype):
+    f0 = func(t0, y0)
+    if first_step is None:
+        dt0 = select_initial_step(func, t0, y0, _INIT_STEP_ORDER, ctrl.rtol, ctrl.atol,
+                                  f0, tdtype)
+        nfe0 = 2
+    else:
+        dt0 = jnp.asarray(first_step, tdtype)
+        nfe0 = 1
+    rk = dict(y=y0, f=f0, t0=t0, t1=t0, dt=dt0, interp=method.interp_init(y0))
+    return rk, jnp.asarray(nfe0, jnp.int32)
+
+
+# ------------------------------------------------------------------ while_loop path
+
+
+def solve_while(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
+                max_steps: int = 1 << 16, first_step: Optional[float] = None):
+    """Non-differentiable minimal-FLOP solve. Returns (solution, SolveStats).
+
+    solution: pytree with a leading time axis of len(t); solution[0] == y0.
+    """
+    T = t.shape[0]
+    tdtype = t.dtype
+    rk0, nfe0 = _init_rk_state(method, func, y0, t[0], ctrl, first_step, tdtype)
+    sol0 = tree_map(lambda y: jnp.zeros((T,) + y.shape, y.dtype).at[0].set(y), y0)
+    n_evals = _n_new_evals(method.tableau)
+
+    carry0 = dict(rk=rk0, sol=sol0, obs_i=jnp.asarray(1, jnp.int32), nfe=nfe0,
+                  nacc=jnp.asarray(0, jnp.int32), nrej=jnp.asarray(0, jnp.int32),
+                  ok=jnp.asarray(True))
+
+    def cond(c):
+        within_budget = (c["nacc"] + c["nrej"]) < max_steps
+        return (c["obs_i"] < T) & within_budget & c["ok"]
+
+    def consume_obs(c):
+        rk = c["rk"]
+        t_obs = t[c["obs_i"]]
+        y_obs = method.interp_eval(rk["interp"], rk["t0"], rk["t1"], t_obs)
+        sol = tree_map(lambda buf, v: buf.at[c["obs_i"]].set(v), c["sol"], y_obs)
+        return dict(c, sol=sol, obs_i=c["obs_i"] + 1)
+
+    def take_step(c):
+        rk = c["rk"]
+        # dt-underflow guard (reference asserts, dopri5.py:100): flag and stop.
+        underflow = ~((rk["t1"] + rk["dt"]) > rk["t1"])
+        rk_new, accept = _attempt_step(method, func, rk, ctrl, tdtype)
+        return dict(
+            c,
+            rk=rk_new,
+            nfe=c["nfe"] + n_evals,
+            nacc=c["nacc"] + accept.astype(jnp.int32),
+            nrej=c["nrej"] + (~accept).astype(jnp.int32),
+            ok=c["ok"] & ~underflow,
+        )
+
+    def body(c):
+        ready = t[c["obs_i"]] <= c["rk"]["t1"]
+        return jax.lax.cond(ready, consume_obs, take_step, c)
+
+    final = jax.lax.while_loop(cond, body, carry0)
+    stats = SolveStats(nfe=final["nfe"], n_accepted=final["nacc"],
+                       n_rejected=final["nrej"],
+                       success=final["ok"] & (final["obs_i"] >= T))
+    return final["sol"], stats
+
+
+# ------------------------------------------------------------------------ scan path
+
+
+def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
+               max_steps: int = 256, first_step: Optional[float] = None):
+    """Reverse-differentiable bounded solve. Returns (solution, SolveStats).
+
+    Runs exactly ``max_steps`` step attempts; iterations after the final time is
+    reached are skipped via lax.cond (no RHS evals, frozen carry). Gradient
+    semantics mirror the reference's default path: the whole step/controller
+    arithmetic is on the tape (heat_dynamics.py:333 backprops through the solver).
+    """
+    T = t.shape[0]
+    tdtype = t.dtype
+    t_final = t[-1]
+    rk0, nfe0 = _init_rk_state(method, func, y0, t[0], ctrl, first_step, tdtype)
+    n_evals = _n_new_evals(method.tableau)
+
+    carry0 = dict(rk=rk0, nfe=nfe0, nacc=jnp.asarray(0, jnp.int32),
+                  nrej=jnp.asarray(0, jnp.int32), ok=jnp.asarray(True))
+
+    def step(c):
+        rk = c["rk"]
+        underflow = ~((rk["t1"] + rk["dt"]) > rk["t1"])
+        rk_new, accept = _attempt_step(method, func, rk, ctrl, tdtype)
+        return dict(c, rk=rk_new, nfe=c["nfe"] + n_evals,
+                    nacc=c["nacc"] + accept.astype(jnp.int32),
+                    nrej=c["nrej"] + (~accept).astype(jnp.int32),
+                    ok=c["ok"] & ~underflow)
+
+    def body(c, _):
+        done = (c["rk"]["t1"] >= t_final) | (~c["ok"])
+        c = jax.lax.cond(done, lambda x: x, step, c)
+        rk = c["rk"]
+        emit = dict(t0=rk["t0"], t1=rk["t1"], interp=rk["interp"])
+        return c, emit
+
+    final, steps = jax.lax.scan(body, carry0, None, length=max_steps)
+
+    # Vectorized dense-output evaluation of all observation times > t[0].
+    # t1 trace is non-decreasing; for each obs the first index with t1 >= t_obs is
+    # the accepted step covering it (rejected/frozen iterations re-emit the last
+    # accepted interval, so any index with equal t1 carries identical interp data).
+    idx = jnp.searchsorted(steps["t1"], t[1:], side="left")
+    idx = jnp.clip(idx, 0, max_steps - 1)
+    g = tree_map(lambda buf: buf[idx], steps)
+
+    ys_obs = jax.vmap(method.interp_eval)(g["interp"], g["t0"], g["t1"], t[1:])
+    sol = tree_map(lambda y, ys: jnp.concatenate([y[None], ys], axis=0), y0, ys_obs)
+
+    stats = SolveStats(nfe=final["nfe"], n_accepted=final["nacc"],
+                       n_rejected=final["nrej"],
+                       success=final["ok"] & (final["rk"]["t1"] >= t_final))
+    return sol, stats

@@ -1,0 +1,128 @@
+"""Public odeint API.
+
+Mirrors the reference seam every model crosses
+(/root/reference/torchdiffeq/_impl/odeint.py:20-76):
+
+    odeint(func, y0, t, rtol=1e-7, atol=1e-9, method=None, options=None)
+
+- ``func(t, y) -> dy/dt`` over arbitrary pytrees (a bare array works too).
+- ``t`` is a 1-D, strictly monotone time grid; the solution carries a new leading
+  time axis with solution[0] == y0. Decreasing grids are handled by negating time
+  and the RHS (misc.py:184-187); this requires a concrete (host) ``t``.
+- default method is dopri5 with rtol=1e-7 / atol=1e-9 (odeint.py:20,68-69).
+
+Extra TPU-native options (all static):
+- ``differentiable`` (default True): adaptive methods use the bounded
+  reverse-differentiable scan; set False for minimal-FLOP while_loop inference.
+- ``max_steps``: step-attempt budget (scan length for the differentiable path).
+- ``first_step``: honoured as given. (Deliberate fix of a reference quirk: there a
+  caller-provided first_step is ignored and 0.01 used instead, dopri5.py:81-82.)
+
+``odeint_with_stats`` additionally returns SolveStats (NFE / accepted / rejected /
+success) — first-class NFE accounting, carried in the solver state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndcn_tpu.ode import adaptive, fixed_adams, fixed_grid, vcabm
+from ndcn_tpu.ode.step_control import Controller
+
+_ADAPTIVE = {
+    "dopri5": adaptive.DOPRI5_METHOD,
+    "tsit5": adaptive.TSIT5_METHOD,
+}
+
+SOLVERS = ("dopri5", "tsit5", "euler", "midpoint", "rk4",
+           "explicit_adams", "fixed_adams", "adams")
+
+_DEFAULT_MAX_STEPS_SCAN = 256
+_DEFAULT_MAX_STEPS_WHILE = 1 << 16
+
+
+def _canonical_time(t):
+    tdtype = jnp.result_type(jnp.asarray(t).dtype, jnp.float32)
+    return jnp.asarray(t, tdtype)
+
+
+def _maybe_reverse(func, y0, t):
+    """Reverse-time handling (misc.py:184-187): integrate s = -t forward."""
+    if isinstance(t, jnp.ndarray) and not isinstance(t, np.ndarray):
+        try:
+            t_host = np.asarray(jax.device_get(t))
+        except Exception:  # traced: assume increasing
+            return func, t, False
+    else:
+        t_host = np.asarray(t)
+    if t_host.ndim != 1 or t_host.shape[0] < 2:
+        raise ValueError("t must be a 1-D grid with at least 2 points")
+    if np.all(t_host[1:] < t_host[:-1]):
+        base = func
+        return (lambda s, y: jax.tree_util.tree_map(jnp.negative, base(-s, y))), -t, True
+    if not np.all(t_host[1:] > t_host[:-1]):
+        raise ValueError("t must be strictly increasing or decreasing")
+    return func, t, False
+
+
+def odeint_with_stats(func: Callable, y0, t, rtol: float = 1e-7, atol: float = 1e-9,
+                      method: Optional[str] = None,
+                      options: Optional[Dict[str, Any]] = None):
+    """Solve dy/dt = func(t, y); returns (solution, SolveStats)."""
+    if options is None:
+        options = {}
+    elif method is None:
+        raise ValueError("cannot supply `options` without specifying `method`")
+    if method is None:
+        method = "dopri5"
+    if method not in SOLVERS:
+        raise ValueError(f"unknown method {method!r}; choose from {SOLVERS}")
+
+    func, t, _ = _maybe_reverse(func, y0, t)
+    t = _canonical_time(t)
+
+    if method in _ADAPTIVE:
+        ctrl = Controller(rtol=float(rtol), atol=float(atol),
+                          safety=float(options.get("safety", 0.9)),
+                          ifactor=float(options.get("ifactor", 10.0)),
+                          dfactor=float(options.get("dfactor", 0.2)),
+                          order=5)
+        differentiable = bool(options.get("differentiable", True))
+        first_step = options.get("first_step")
+        if differentiable:
+            max_steps = int(options.get("max_steps", _DEFAULT_MAX_STEPS_SCAN))
+            return adaptive.solve_scan(_ADAPTIVE[method], func, y0, t, ctrl,
+                                       max_steps=max_steps, first_step=first_step)
+        max_steps = int(options.get("max_steps", _DEFAULT_MAX_STEPS_WHILE))
+        return adaptive.solve_while(_ADAPTIVE[method], func, y0, t, ctrl,
+                                    max_steps=max_steps, first_step=first_step)
+
+    if method in ("euler", "midpoint", "rk4"):
+        step_fn = fixed_grid.STEP_FUNCS[method]
+        return fixed_grid.solve_fixed_grid(step_fn, func, y0, t,
+                                           step_size=options.get("step_size"))
+
+    if method in ("explicit_adams", "fixed_adams"):
+        return fixed_adams.solve_fixed_adams(
+            func, y0, t,
+            implicit=(method == "fixed_adams"),
+            max_order=int(options.get("max_order", 12)),
+            max_iters=int(options.get("max_iters", 4)))
+
+    # method == "adams": variable-coefficient adaptive-order ABM
+    return vcabm.solve_vcabm(func, y0, t, rtol=float(rtol), atol=float(atol),
+                             max_order=int(options.get("max_order", 12)),
+                             max_steps=int(options.get("max_steps",
+                                                       _DEFAULT_MAX_STEPS_WHILE)))
+
+
+def odeint(func: Callable, y0, t, rtol: float = 1e-7, atol: float = 1e-9,
+           method: Optional[str] = None, options: Optional[Dict[str, Any]] = None):
+    """Solve dy/dt = func(t, y) over t; solution has a leading time axis."""
+    sol, _ = odeint_with_stats(func, y0, t, rtol=rtol, atol=atol, method=method,
+                               options=options)
+    return sol

@@ -1,0 +1,117 @@
+"""Gradient tests: backprop-through-solver and continuous adjoint vs analytics.
+
+Mirrors SURVEY.md §4's plan item (c): finite differences vs reverse-mode through
+the solver vs the adjoint method. The reference's default training path backprops
+through solver internals (heat_dynamics.py:333); the adjoint is the --adjoint
+equivalent (torchdiffeq/_impl/adjoint.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ndcn_tpu.ode import odeint
+from ndcn_tpu.ode.adjoint import odeint_adjoint
+
+
+def test_grad_wrt_decay_rate():
+    # y' = -p y, y(T) = y0 exp(-p T); dL/dp with L = y(T) is -T y0 exp(-p T)
+    t = jnp.linspace(0.0, 1.5, 8)
+
+    def loss(p):
+        sol = odeint(lambda tt, y: -p * y, jnp.array([2.0]), t,
+                     rtol=1e-6, atol=1e-8, method="dopri5")
+        return sol[-1, 0]
+
+    p0 = 0.7
+    g = jax.grad(loss)(jnp.asarray(p0))
+    expected = -1.5 * 2.0 * np.exp(-p0 * 1.5)
+    np.testing.assert_allclose(float(g), expected, rtol=1e-3)
+
+
+def test_grad_wrt_y0():
+    # y' = -y: dy(T)/dy(0) = exp(-T)
+    t = jnp.linspace(0.0, 1.0, 5)
+
+    def loss(y0):
+        sol = odeint(lambda tt, y: -y, y0, t, rtol=1e-6, atol=1e-8, method="dopri5")
+        return jnp.sum(sol[-1])
+
+    g = jax.grad(loss)(jnp.array([1.0, 2.0]))
+    np.testing.assert_allclose(np.asarray(g), np.exp(-1.0) * np.ones(2), rtol=1e-3)
+
+
+@pytest.mark.parametrize("method", ["euler", "rk4", "fixed_adams"])
+def test_grad_fixed_grid(method):
+    t = jnp.linspace(0.0, 1.0, 40)
+
+    def loss(p):
+        sol = odeint(lambda tt, y: -p * y, jnp.array([1.0]), t, method=method)
+        return sol[-1, 0]
+
+    g = jax.grad(loss)(jnp.asarray(1.0))
+    # analytic for the continuous problem; discretization error dominates tolerance
+    np.testing.assert_allclose(float(g), -np.exp(-1.0), rtol=5e-2)
+
+
+def test_grad_matches_finite_difference():
+    t = jnp.linspace(0.0, 1.0, 6)
+
+    def loss(p):
+        def f(tt, y):
+            return jnp.stack([y[1], -p * y[0]])
+        sol = odeint(f, jnp.array([1.0, 0.0]), t, rtol=1e-6, atol=1e-8,
+                     method="dopri5")
+        return jnp.sum(sol[-1] ** 2)
+
+    p0 = jnp.asarray(2.0)
+    g = jax.grad(loss)(p0)
+    eps = 1e-3
+    fd = (loss(p0 + eps) - loss(p0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=5e-3, atol=1e-4)
+
+
+def test_adjoint_matches_backprop():
+    t = jnp.linspace(0.0, 1.2, 7)
+    params = {"w": jnp.array([[-0.5, 0.2], [-0.1, -0.7]]), "b": jnp.array([0.05, -0.03])}
+    y0 = jnp.array([1.0, -0.5])
+
+    def func(tt, y, p):
+        return p["w"] @ y + p["b"]
+
+    def loss_adjoint(p, y):
+        sol = odeint_adjoint(func, y, t, p, rtol=1e-7, atol=1e-9, method="dopri5")
+        return jnp.sum(sol[-1] ** 2)
+
+    def loss_direct(p, y):
+        sol = odeint(lambda tt, yy: func(tt, yy, p), y, t,
+                     rtol=1e-7, atol=1e-9, method="dopri5")
+        return jnp.sum(sol[-1] ** 2)
+
+    ga_p, ga_y = jax.grad(loss_adjoint, argnums=(0, 1))(params, y0)
+    gd_p, gd_y = jax.grad(loss_direct, argnums=(0, 1))(params, y0)
+
+    np.testing.assert_allclose(np.asarray(ga_y), np.asarray(gd_y), rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga_p["w"]), np.asarray(gd_p["w"]), rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga_p["b"]), np.asarray(gd_p["b"]), rtol=2e-3, atol=1e-5)
+
+
+def test_grad_through_loss_on_full_trajectory():
+    """Gradients flow through dense-output interpolation at every obs time."""
+    rng = np.random.RandomState(1)
+    t_np = np.sort(rng.uniform(0.0, 2.0, 25))
+    t_np[0] = 0.0
+    t = jnp.asarray(t_np, jnp.float32)
+    target = jnp.asarray(np.exp(-1.3 * t_np), jnp.float32)
+
+    def loss(p):
+        sol = odeint(lambda tt, y: -p * y, jnp.array([1.0]), t,
+                     rtol=1e-6, atol=1e-8, method="dopri5")
+        return jnp.mean((sol[:, 0] - target) ** 2)
+
+    # minimizing from p=1.0 should move toward 1.3
+    g = jax.grad(loss)(jnp.asarray(1.0))
+    assert float(g) < 0.0
+    g_at_sol = jax.grad(loss)(jnp.asarray(1.3))
+    assert abs(float(g_at_sol)) < 1e-3

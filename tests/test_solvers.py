@@ -1,0 +1,167 @@
+"""Solver unit tests against closed-form ODEs.
+
+The reference ships no tests; this suite is the strategy SURVEY.md §4 prescribes:
+(a) solvers vs closed forms, (b) dense-output/interpolation accuracy, (c) pytree
+states, (d) both adaptive execution strategies agreeing, (e) stats sanity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ndcn_tpu.ode import odeint, odeint_with_stats
+
+ALL_METHODS = ["dopri5", "tsit5", "euler", "midpoint", "rk4",
+               "explicit_adams", "fixed_adams", "adams"]
+ADAPTIVE = ["dopri5", "tsit5", "adams"]
+
+# accuracy expectations on exp decay over [0, 2] with a 50-point grid
+TOL = {
+    "dopri5": 2e-4, "tsit5": 2e-4, "adams": 2e-3,
+    "rk4": 1e-5, "midpoint": 1e-3, "euler": 2e-2,
+    "explicit_adams": 1e-4, "fixed_adams": 1e-4,
+}
+
+
+def exp_decay(t, y):
+    return -y
+
+
+@pytest.mark.parametrize("method", ALL_METHODS)
+def test_exp_decay(method):
+    t = jnp.linspace(0.0, 2.0, 50)
+    y0 = jnp.ones((3, 2))
+    kwargs = dict(rtol=1e-6, atol=1e-8) if method in ADAPTIVE else {}
+    if method == "explicit_adams":
+        # order-11 explicit AB is unstable at lambda*dt = -0.04 (true of the
+        # reference too); cap the order to stay inside the stability region.
+        kwargs["options"] = {"max_order": 5}
+    sol = odeint(exp_decay, y0, t, method=method, **kwargs)
+    expected = np.exp(-np.asarray(t))[:, None, None] * np.ones((1, 3, 2))
+    np.testing.assert_allclose(np.asarray(sol), expected, atol=TOL[method], rtol=0)
+
+
+@pytest.mark.parametrize("method", ["dopri5", "tsit5", "rk4", "fixed_adams"])
+def test_harmonic_oscillator(method):
+    # y'' = -y as a 2-D system; solution (cos t, -sin t)
+    def f(t, y):
+        return jnp.stack([y[1], -y[0]])
+
+    t = jnp.linspace(0.0, 6.0, 80)
+    y0 = jnp.array([1.0, 0.0])
+    kwargs = dict(rtol=1e-6, atol=1e-8) if method in ADAPTIVE else {}
+    sol = odeint(f, y0, t, method=method, **kwargs)
+    tn = np.asarray(t)
+    expected = np.stack([np.cos(tn), -np.sin(tn)], axis=1)
+    np.testing.assert_allclose(np.asarray(sol), expected, atol=5e-4, rtol=0)
+
+
+@pytest.mark.parametrize("method", ["dopri5", "tsit5"])
+def test_irregular_observation_grid(method):
+    """Dense output must hit arbitrary (non-step-aligned) observation times."""
+    rng = np.random.RandomState(0)
+    t = np.sort(rng.uniform(0.0, 3.0, size=37))
+    t[0] = 0.0
+    t = jnp.asarray(np.unique(t), jnp.float32)
+    y0 = jnp.array([2.0])
+    sol = odeint(exp_decay, y0, t, rtol=1e-7, atol=1e-9, method=method)
+    expected = 2.0 * np.exp(-np.asarray(t))[:, None]
+    np.testing.assert_allclose(np.asarray(sol), expected, atol=1e-5, rtol=0)
+
+
+def test_pytree_state():
+    def f(t, y):
+        return {"a": -y["a"], "b": (2.0 * y["b"][0],)}
+
+    t = jnp.linspace(0.0, 1.0, 20)
+    y0 = {"a": jnp.ones((4,)), "b": (jnp.full((2, 2), 0.5),)}
+    sol = odeint(f, y0, t, rtol=1e-6, atol=1e-8, method="dopri5")
+    tn = np.asarray(t)
+    np.testing.assert_allclose(np.asarray(sol["a"]), np.exp(-tn)[:, None] * np.ones((1, 4)),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sol["b"][0]),
+                               0.5 * np.exp(2 * tn)[:, None, None] * np.ones((1, 2, 2)),
+                               atol=1e-3)
+
+
+def test_scan_and_while_paths_agree():
+    t = jnp.linspace(0.0, 2.0, 30)
+    y0 = jnp.arange(1.0, 7.0).reshape(2, 3)
+    sol_scan, stats_scan = odeint_with_stats(
+        exp_decay, y0, t, rtol=1e-5, atol=1e-7, method="dopri5",
+        options={"differentiable": True})
+    sol_while, stats_while = odeint_with_stats(
+        exp_decay, y0, t, rtol=1e-5, atol=1e-7, method="dopri5",
+        options={"differentiable": False})
+    # identical step sequences; small float32 drift from different XLA fusions
+    np.testing.assert_allclose(np.asarray(sol_scan), np.asarray(sol_while),
+                               rtol=3e-5, atol=1e-5)
+    assert int(stats_scan.n_accepted) == int(stats_while.n_accepted)
+    assert int(stats_scan.nfe) == int(stats_while.nfe)
+    assert bool(stats_scan.success) and bool(stats_while.success)
+
+
+def test_decreasing_time():
+    t = jnp.linspace(2.0, 0.0, 25)
+    y0 = jnp.array([np.exp(-2.0)], jnp.float32)
+    sol = odeint(exp_decay, y0, t, rtol=1e-6, atol=1e-8, method="dopri5")
+    expected = np.exp(-np.asarray(t))[:, None]
+    np.testing.assert_allclose(np.asarray(sol), expected, atol=1e-5, rtol=0)
+
+
+def test_stats_accounting():
+    t = jnp.linspace(0.0, 2.0, 10)
+    y0 = jnp.ones((5,))
+    _, stats = odeint_with_stats(exp_decay, y0, t, rtol=1e-6, atol=1e-8,
+                                 method="dopri5")
+    # 1 initial eval + 1 in Hairer init + 6 per attempt
+    n_attempts = int(stats.n_accepted) + int(stats.n_rejected)
+    assert int(stats.nfe) == 2 + 6 * n_attempts
+    assert int(stats.n_accepted) > 0
+    assert bool(stats.success)
+
+
+def test_max_steps_exhaustion_flags_failure():
+    t = jnp.linspace(0.0, 2.0, 10)
+    y0 = jnp.ones((5,))
+    _, stats = odeint_with_stats(exp_decay, y0, t, rtol=1e-10, atol=1e-12,
+                                 method="dopri5",
+                                 options={"max_steps": 2})
+    assert not bool(stats.success)
+
+
+def test_fixed_grid_step_size_option():
+    t = jnp.linspace(0.0, 2.0, 7)
+    y0 = jnp.ones((2,))
+    sol = odeint(exp_decay, y0, t, method="rk4", options={"step_size": 0.01})
+    expected = np.exp(-np.asarray(t))[:, None] * np.ones((1, 2))
+    np.testing.assert_allclose(np.asarray(sol), expected, atol=1e-4, rtol=0)
+
+
+def test_jit_and_vmap_compose():
+    t = jnp.linspace(0.0, 1.0, 12)
+
+    @jax.jit
+    def solve(y0):
+        return odeint(exp_decay, y0, t, rtol=1e-5, atol=1e-7, method="dopri5")
+
+    y0s = jnp.stack([jnp.ones((3,)), 2.0 * jnp.ones((3,))])
+    sols = jax.vmap(solve)(y0s)
+    tn = np.asarray(t)
+    np.testing.assert_allclose(np.asarray(sols[0]), np.exp(-tn)[:, None] * np.ones((1, 3)),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sols[1]), 2 * np.exp(-tn)[:, None] * np.ones((1, 3)),
+                               atol=1e-4)
+
+
+def test_time_dependent_rhs():
+    # dy/dt = t  -> y = y0 + t^2/2
+    def f(t, y):
+        return jnp.full_like(y, t.astype(y.dtype))
+
+    t = jnp.linspace(0.0, 2.0, 15)
+    y0 = jnp.zeros((2,))
+    sol = odeint(f, y0, t, rtol=1e-6, atol=1e-8, method="dopri5")
+    expected = (np.asarray(t) ** 2 / 2)[:, None] * np.ones((1, 2))
+    np.testing.assert_allclose(np.asarray(sol), expected, atol=1e-5)
