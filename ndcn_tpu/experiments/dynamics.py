@@ -1,0 +1,293 @@
+"""Shared driver for the network-dynamics learning experiments.
+
+One parameterized driver replaces the reference's three structural clones
+(heat_dynamics.py / mutualistic_dynamics.py / gene_dynamics.py — identical except
+for the RHS and output paths, SURVEY.md §1 L6). Flag surface, defaults, split
+semantics, loss definitions, and the printed progress format all match the
+reference so existing tooling (and eyeballs) carry over.
+
+TPU-first structure: graph build / operator construction / time sampling happen
+once on the host; ground truth is one compiled adaptive solve; training is a
+jitted ``(params, opt_state) -> (params, opt_state, losses)`` step with donated
+buffers, and evaluation a second jitted function over the full grid. The
+reference pays ~6 python-dispatched RHS evals per solver step per iteration;
+here one XLA program runs the whole solve.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Any, Dict
+
+import numpy as np
+
+
+def build_parser(name: str) -> argparse.ArgumentParser:
+    """The 25-flag surface of the dynamics drivers (heat_dynamics.py:19-64)."""
+    p = argparse.ArgumentParser(name)
+    p.add_argument("--method", type=str, default="euler",
+                   choices=["dopri5", "adams", "explicit_adams", "fixed_adams",
+                            "tsit5", "euler", "midpoint", "rk4"])
+    p.add_argument("--rtol", type=float, default=0.01)
+    p.add_argument("--atol", type=float, default=0.001)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--weight_decay", type=float, default=1e-3)
+    p.add_argument("--dropout", type=float, default=0.0)
+    p.add_argument("--hidden", type=int, default=20)
+    p.add_argument("--time_tick", type=int, default=100)
+    p.add_argument("--sampled_time", type=str, default="irregular",
+                   choices=["irregular", "equal"])
+    p.add_argument("--niters", type=int, default=2000)
+    p.add_argument("--test_freq", type=int, default=20)
+    p.add_argument("--viz", action="store_true")
+    p.add_argument("--n", type=int, default=400)
+    p.add_argument("--sparse", action="store_true")
+    p.add_argument("--network", type=str, default="grid",
+                   choices=["grid", "random", "power_law", "small_world", "community"])
+    p.add_argument("--layout", type=str, default="community",
+                   choices=["community", "degree"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--T", type=float, default=5.0)
+    p.add_argument("--operator", type=str, default="norm_lap",
+                   choices=["lap", "norm_lap", "kipf", "norm_adj"])
+    p.add_argument("--baseline", type=str, default="ndcn",
+                   choices=["ndcn", "no_embed", "no_control", "no_graph",
+                            "lstm_gnn", "rnn_gnn", "gru_gnn"])
+    p.add_argument("--dump", action="store_true")
+    p.add_argument("--adjoint", action="store_true")
+    p.add_argument("--max_steps", type=int, default=256,
+                   help="adaptive step budget for the differentiable solve")
+    p.add_argument("--results_dir", type=str, default=None)
+    from ndcn_tpu.utils.platform import add_platform_flag
+    add_platform_flag(p)
+    return p
+
+
+def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
+    from ndcn_tpu.utils.platform import force_platform
+    force_platform(args.platform)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ndcn_tpu.dynamics import make_rhs
+    from ndcn_tpu.graph import generators, operators
+    from ndcn_tpu.graph.sparse import as_operator
+    from ndcn_tpu.models import (init_ndcn, init_temporal_gcn, ndcn_forward,
+                                 temporal_gcn_forward)
+    from ndcn_tpu.ode import odeint_with_stats
+    from ndcn_tpu.report import results as results_lib
+    from ndcn_tpu.train.losses import l1_loss
+    from ndcn_tpu.train.optim import torch_adam
+    from ndcn_tpu.train.sampling import sample_times
+    from ndcn_tpu.utils.timing import Timer
+
+    t_start = time.time()
+
+    # ---------------------------------------------------------------- graph
+    print(f"Choose graph: {args.network}")
+    adj = generators.build_network(args.network, args.n, seed=args.seed,
+                                   layout=args.layout)
+    n = adj.shape[0]
+    side = int(np.ceil(np.sqrt(args.n)))
+
+    # ---------------------------------------------------------- time splits
+    print(f"Build {args.sampled_time}ly-sampled -time dynamics")
+    splits = sample_times(args.T, args.time_tick, args.sampled_time, seed=args.seed)
+    t_np = splits.t
+    id_train, id_test, id_test2 = splits.id_train, splits.id_test, splits.id_test2
+
+    # ------------------------------------------------------------- operator
+    om_np = operators.build_dynamics_operator(adj, args.operator)
+    if args.baseline in ("lstm_gnn", "rnn_gnn", "gru_gnn"):
+        # temporal baselines always use the Kipf operator (heat_dynamics.py:169-173)
+        om_np = operators.zipf_smoothing(adj)
+    op = as_operator(om_np, sparse=args.sparse)
+
+    # ------------------------------------------------------ physics operator
+    # heat diffusion integrates over L = D - A (the RHS owns the minus sign);
+    # mutualistic/gene couple through the raw adjacency.
+    physics_matrix = operators.laplacian_dense(adj) if dynamics_kind == "heat" else adj
+    physics_op = as_operator(physics_matrix, sparse=args.sparse)
+
+    # --------------------------------------------------------- ground truth
+    # The block initial condition lives on the side×side grid layout; for non-grid
+    # graphs of n != side² nodes, take the first n entries (heat_dynamics.py:177-183).
+    x0 = jnp.asarray(generators.grid_block_initial_value(side)[:n], jnp.float32)
+
+    t_full = jnp.asarray(t_np)
+    rhs = make_rhs(dynamics_kind, physics_op)
+    with Timer() as gt_timer:
+        solution, gt_stats = odeint_with_stats(
+            rhs, x0, t_full, rtol=1e-7, atol=1e-9, method="dopri5",
+            options={"differentiable": False})
+        solution = jax.block_until_ready(solution)
+    print(f"{tuple(solution.shape)} ground truth: {int(gt_stats.nfe)} RHS evals "
+          f"in {gt_timer.elapsed:.3f}s "
+          f"({int(gt_stats.nfe) * n / max(gt_timer.elapsed, 1e-9):,.0f} node-evals/s)")
+
+    true_y = jnp.squeeze(solution, -1).T            # (n, T_all)
+    true_y0 = x0                                    # (n, 1)
+    true_y_train = true_y[:, id_train]
+    true_y_test = true_y[:, id_test]
+    true_y_test2 = true_y[:, id_test2] if id_test2 is not None else None
+
+    t_train = jnp.asarray(t_np[id_train])
+    id_train_j = jnp.asarray(id_train)
+    id_test_j = jnp.asarray(id_test)
+    id_test2_j = jnp.asarray(id_test2) if id_test2 is not None else None
+
+    # ----------------------------------------------------------------- model
+    key = jax.random.PRNGKey(args.seed)
+    continuous = args.baseline in ("ndcn", "no_embed", "no_control", "no_graph")
+    flags = dict(no_embed=args.baseline == "no_embed",
+                 no_graph=args.baseline == "no_graph",
+                 no_control=args.baseline == "no_control")
+    print("Choose model:" + args.baseline)
+
+    rnn_type = args.baseline.split("_")[0] if not continuous else None
+    hidden_size_gnn, hidden_size_rnn = 5, 10
+
+    if continuous:
+        params = init_ndcn(key, 1, args.hidden, 1, no_embed=flags["no_embed"],
+                           no_control=flags["no_control"])
+
+        def forward(p, vt, y0, rng=None):
+            out, stats = ndcn_forward(
+                p, op, vt, y0, rtol=args.rtol, atol=args.atol, method=args.method,
+                dropout=args.dropout, rng=rng, adjoint=args.adjoint,
+                max_steps=args.max_steps, **flags)
+            return jnp.squeeze(out, -1).T, stats    # (n, T)
+
+        def train_loss(p, rng):
+            pred, _ = forward(p, t_train, true_y0, rng)
+            loss = l1_loss(pred, true_y_train)
+            return loss, loss / jnp.mean(true_y_train)
+    else:
+        params = init_temporal_gcn(key, 1, hidden_size_gnn, n, hidden_size_rnn,
+                                   rnn_type)
+
+        def forward(p, _vt, y_seq, rng=None, future=0):
+            out = temporal_gcn_forward(p, op, y_seq, rnn_type=rnn_type,
+                                       future=future, dropout=args.dropout,
+                                       rng=rng, deterministic=rng is None)
+            return out, None
+
+        def train_loss(p, rng):
+            pred, _ = forward(p, None, true_y_train[:, :-1], rng)
+            target = true_y_train[:, 1:]
+            loss = l1_loss(pred, target)
+            return loss, loss / jnp.mean(target)
+
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(params))
+    print(f"Total {n_params:d} Trainable {n_params:d}")
+
+    # ------------------------------------------------------------- training
+    opt = torch_adam(args.lr, args.weight_decay)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(p, s, rng):
+        (loss, rel), grads = jax.value_and_grad(
+            lambda q: train_loss(q, rng), has_aux=True)(p)
+        updates, s = opt.update(grads, s, p)
+        p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+        return p, s, loss, rel
+
+    @jax.jit
+    def evaluate(p):
+        if continuous:
+            pred, stats = forward(p, t_full, true_y0)
+            nfe = stats.nfe if stats is not None else jnp.asarray(0)
+        else:
+            pred, _ = forward(p, None, true_y_train, future=len(id_test))
+            nfe = jnp.asarray(0)
+            # discrete rollout: the future block occupies the trailing columns
+            cols = jnp.arange(pred.shape[1] - len(id_test), pred.shape[1])
+            loss_t = l1_loss(pred[:, cols], true_y_test)
+            out = dict(loss=loss_t, rel=loss_t / jnp.mean(true_y_test),
+                       pred_test=pred[:, cols], nfe=nfe)
+            out["loss2"] = jnp.asarray(0.0)
+            out["rel2"] = jnp.asarray(0.0)
+            out["pred_test2"] = jnp.zeros_like(true_y_test2) if id_test2_j is not None else jnp.zeros(())
+            return out
+        loss_t = l1_loss(pred[:, id_test_j], true_y_test)
+        out = dict(loss=loss_t, rel=loss_t / jnp.mean(true_y_test),
+                   pred_test=pred[:, id_test_j], nfe=nfe)
+        if id_test2_j is not None:
+            loss2 = l1_loss(pred[:, id_test2_j], true_y_test2)
+            out["loss2"] = loss2
+            out["rel2"] = loss2 / jnp.mean(true_y_test2)
+            out["pred_test2"] = pred[:, id_test2_j]
+        else:
+            out["loss2"] = jnp.asarray(0.0)
+            out["rel2"] = jnp.asarray(0.0)
+            out["pred_test2"] = jnp.zeros(())
+        return out
+
+    results = results_lib.new_results_dict(vars(args))
+    results["true_y"].append(np.asarray(true_y))
+    results["nfe_train"] = []
+
+    rng = jax.random.PRNGKey(args.seed + 1)
+    loss = rel = jnp.asarray(0.0)
+    for itr in range(1, args.niters + 1):
+        rng, step_rng = jax.random.split(rng)
+        params, opt_state, loss, rel = train_step(params, opt_state, step_rng)
+
+        if itr % args.test_freq == 0:
+            ev = evaluate(params)
+            if args.dump:
+                results_lib.record_eval(
+                    results, itr, ev["loss"], ev["rel"], ev["pred_test"], params,
+                    abs_error2=float(ev["loss2"]) if id_test2 is not None else None,
+                    rel_error2=float(ev["rel2"]) if id_test2 is not None else None,
+                    predict_y2=ev["pred_test2"] if id_test2 is not None else None)
+                results["nfe_train"].append(int(ev["nfe"]))
+            if args.sampled_time == "irregular":
+                print("Iter {:04d}| Train Loss {:.6f}({:.6f} Relative) "
+                      "| Test Loss {:.6f}({:.6f} Relative) "
+                      "| Test Loss2 {:.6f}({:.6f} Relative) "
+                      "| Time {:.4f}"
+                      .format(itr, float(loss), float(rel), float(ev["loss"]),
+                              float(ev["rel"]), float(ev["loss2"]),
+                              float(ev["rel2"]), time.time() - t_start))
+            else:
+                print("Iter {:04d}| Train Loss {:.6f}({:.6f} Relative) "
+                      "| Test Loss {:.6f}({:.6f} Relative) "
+                      "| Time {:.4f}"
+                      .format(itr, float(loss), float(rel), float(ev["loss"]),
+                              float(ev["rel"]), time.time() - t_start))
+
+    # ---------------------------------------------------------------- final
+    ev = evaluate(params)
+    t_total = time.time() - t_start
+    print("Total Time {:.4f}".format(t_total))
+    results["total_time"] = t_total
+    results["final"] = {
+        "abs_error": float(ev["loss"]), "rel_error": float(ev["rel"]),
+        "abs_error2": float(ev["loss2"]), "rel_error2": float(ev["rel2"]),
+        "train_loss": float(loss), "train_rel": float(rel),
+    }
+
+    if args.dump:
+        results_dir = args.results_dir or f"results/{dynamics_kind}/{args.network}"
+        path = results_lib.results_path(results_dir, args.baseline)
+        results_lib.dump_results(results, path)
+        print("Dump results as: " + path)
+        rr = results_lib.load_results(path)  # dump round-trip check
+        assert rr["v_iter"] == results["v_iter"]
+
+    if args.viz:
+        from ndcn_tpu.report import viz
+        viz.dynamics_surfaces(dynamics_kind, args.network, side, np.asarray(true_y),
+                              np.asarray(ev["pred_test"]))
+
+    return results
+
+
+def main(dynamics_kind: str, title: str, argv=None) -> Dict[str, Any]:
+    args = build_parser(title).parse_args(argv)
+    return run(dynamics_kind, args)

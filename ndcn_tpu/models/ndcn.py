@@ -1,0 +1,115 @@
+"""NDCN: encoder → graph-ODE block → decoder, with ablation switches.
+
+Capability parity with the reference model family (neural_dynamics.py):
+- ``ODEFunc``   (:8-39)   → ``ode_func``: h' = relu(dropout(W·(A h)+b)) with
+                             ``no_graph`` / ``no_control`` switches
+- ``ODEBlock``  (:42-79)  → ``ode_block``: odeint over a per-call time grid, with
+                             ``terminal`` selecting final state vs trajectory and an
+                             ``adjoint`` switch
+- ``NDCN``      (:122-160) → init/apply pair; ``no_embed`` skips the encoder;
+                             encoder depth 2 for dynamics, 1 for the dgnn
+                             ``differential_gcn`` stack (dgnn.py:173-182)
+
+The whole forward pass is one jittable pure function; the ODE solve uses the
+differentiable bounded-scan path, so training backprops through the solver like
+the reference's default (non-adjoint) path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ndcn_tpu.graph.sparse import GraphOperator, matvec
+from ndcn_tpu.models import nn
+from ndcn_tpu.ode import odeint_with_stats
+from ndcn_tpu.ode.adjoint import odeint_adjoint
+
+
+def ode_func(params: Dict[str, Any], op: GraphOperator, t, h,
+             no_graph: bool = False, no_control: bool = False,
+             drop_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """The learned RHS. ``drop_mask`` is a fixed inverted-dropout mask (see
+    models/nn.dropout_mask for why it is not resampled per eval)."""
+    if not no_graph:
+        h = matvec(op, h)
+    if not no_control:
+        h = nn.linear_apply(params["wt"], h)
+    if drop_mask is not None:
+        h = h * drop_mask
+    return jax.nn.relu(h)
+
+
+def ode_block(func, h0, vt, rtol: float, atol: float, method: str,
+              terminal: bool = False, adjoint: bool = False,
+              params=None, max_steps: int = 256):
+    """odeint wrapper mirroring ODEBlock semantics; returns (out, stats).
+
+    With ``adjoint=True`` gradients use the continuous adjoint (O(1) memory);
+    ``params`` must then be the pytree the RHS closes over.
+    """
+    if adjoint:
+        if params is None:
+            raise ValueError("adjoint=True requires the params pytree")
+        sol = odeint_adjoint(lambda t, h, p: func(p, t, h), h0, vt, params,
+                             rtol=rtol, atol=atol, method=method,
+                             options={"max_steps": max_steps})
+        stats = None
+    else:
+        sol, stats = odeint_with_stats(func if params is None
+                                       else (lambda t, h: func(params, t, h)),
+                                       h0, vt, rtol=rtol, atol=atol, method=method,
+                                       options={"max_steps": max_steps})
+    return (jax.tree_util.tree_map(lambda b: b[-1], sol) if terminal else sol), stats
+
+
+def init_ndcn(key, input_size: int, hidden_size: int, num_classes: int,
+              no_embed: bool = False, no_control: bool = False,
+              encoder_layers: int = 2) -> Dict[str, Any]:
+    """Parameter pytree for NDCN. With ``no_embed`` the ODE runs in input space
+    (the reference passes hidden_size=input_size there, heat_dynamics.py:252)."""
+    keys = jax.random.split(key, 4)
+    width = input_size if no_embed else hidden_size
+    params: Dict[str, Any] = {}
+    if not no_embed:
+        params["enc1"] = nn.linear_init(keys[0], input_size, hidden_size)
+        if encoder_layers == 2:
+            params["enc2"] = nn.linear_init(keys[1], hidden_size, hidden_size)
+    if not no_control:
+        params["wt"] = nn.linear_init(keys[2], width, width)
+    params["dec"] = nn.linear_init(keys[3], width, num_classes)
+    return params
+
+
+def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
+                 x: jnp.ndarray, *, rtol: float = 0.01, atol: float = 0.001,
+                 method: str = "dopri5", terminal: bool = False,
+                 no_embed: bool = False, no_graph: bool = False,
+                 no_control: bool = False, dropout: float = 0.0,
+                 rng: Optional[jax.Array] = None, adjoint: bool = False,
+                 max_steps: int = 256):
+    """Full NDCN forward. Returns (output, stats).
+
+    output: (T, n, num_classes) trajectory, or (n, num_classes) if terminal.
+    """
+    h = x
+    if not no_embed:
+        h = jnp.tanh(nn.linear_apply(params["enc1"], h))
+        if "enc2" in params:
+            h = nn.linear_apply(params["enc2"], h)
+
+    drop_mask = None
+    if dropout > 0.0 and rng is not None:
+        drop_mask = nn.dropout_mask(rng, h.shape, dropout, h.dtype)
+
+    def func(p, t, hh):
+        return ode_func(p, op, t, hh, no_graph=no_graph, no_control=no_control,
+                        drop_mask=drop_mask)
+
+    ode_params = {k: params[k] for k in ("wt",) if k in params}
+    hvx, stats = ode_block(func, h, vt, rtol, atol, method, terminal=terminal,
+                           adjoint=adjoint, params=ode_params, max_steps=max_steps)
+    out = nn.linear_apply(params["dec"], hvx)
+    return out, stats

@@ -72,8 +72,22 @@ def _adams_moulton_table(max_order: int) -> np.ndarray:
     return table
 
 
-_AB_TABLE = jnp.asarray(_adams_bashforth_table(_MAX_ORDER - 1), jnp.float32)  # (12, 11)
-_AM_TABLE = jnp.asarray(_adams_moulton_table(_MAX_ORDER), jnp.float32)        # (13, 13)
+# Built lazily: creating device arrays at import time would initialize the JAX
+# backend before callers can select a platform.
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _tables_np():
+    return (_adams_bashforth_table(_MAX_ORDER - 1),  # (12, 11)
+            _adams_moulton_table(_MAX_ORDER))        # (13, 13)
+
+
+def _tables():
+    # jnp conversion must happen per call: caching device arrays would leak
+    # tracers when first invoked under jit.
+    ab, am = _tables_np()
+    return jnp.asarray(ab, jnp.float32), jnp.asarray(am, jnp.float32)
 
 
 def solve_fixed_adams(func, y0, t, implicit: bool = True,
@@ -100,7 +114,8 @@ def solve_fixed_adams(func, y0, t, implicit: bool = True,
             return dy, jnp.asarray(3, jnp.int32)
 
         def adams_branch(_):
-            ab_row = _AB_TABLE[order, :max_hist]
+            ab_table, am_table = _tables()
+            ab_row = ab_table[order, :max_hist]
 
             def predict(h):
                 c = ab_row.astype(h.dtype)
@@ -109,7 +124,7 @@ def solve_fixed_adams(func, y0, t, implicit: bool = True,
             dy = tree_map(predict, hist)
             n = jnp.asarray(0, jnp.int32)
             if implicit:
-                am_row = _AM_TABLE[order + 1]  # (13,): weight 0 is for f(t+dt)
+                am_row = am_table[order + 1]  # (13,): weight 0 is for f(t+dt)
                 c0 = am_row[0]
 
                 def delta_leaf(h):

@@ -1,0 +1,27 @@
+"""Platform / device selection helpers.
+
+The reference selects CPU vs GPU with --gpu (heat_dynamics.py:65-68). Here the
+equivalent switch is --platform {tpu,cpu,default}: 'default' keeps whatever the
+ambient JAX configuration picked (on this image, the axon TPU plugin)."""
+
+from __future__ import annotations
+
+
+def force_platform(platform: str) -> None:
+    if not platform or platform == "default":
+        return
+    # Both are needed on this image: the env var steers plugin discovery when jax
+    # has not been imported yet, the config update when a sitecustomize already
+    # imported (but not yet initialized) the axon TPU plugin.
+    import os
+
+    os.environ["JAX_PLATFORMS"] = platform
+    import jax
+
+    jax.config.update("jax_platforms", platform)
+
+
+def add_platform_flag(parser) -> None:
+    parser.add_argument("--platform", type=str, default="default",
+                        choices=["default", "tpu", "cpu"],
+                        help="JAX platform override (reference: --gpu -1 == cpu)")

@@ -1,0 +1,162 @@
+"""Dynamics RHS and model forward/backward tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from ndcn_tpu.dynamics import gene_dynamics, heat_diffusion, make_rhs, mutualistic_dynamics
+from ndcn_tpu.graph import operators
+from ndcn_tpu.graph.sparse import from_dense, from_scipy
+from ndcn_tpu.models import (gcn_zoo, init_ndcn, init_temporal_gcn, ndcn_forward,
+                             temporal_gcn_forward)
+from ndcn_tpu.ode import odeint_with_stats
+
+
+def _setup(n=25, seed=0):
+    rng = np.random.RandomState(seed)
+    a = (rng.rand(n, n) < 0.25).astype(np.float32)
+    a = np.maximum(a, a.T)
+    np.fill_diagonal(a, 0)
+    return a, rng
+
+
+def test_heat_diffusion_conserves_energy():
+    a, _ = _setup()
+    lap = operators.laplacian_dense(a)
+    op = from_dense(lap)
+    x0 = jnp.asarray(np.random.RandomState(1).rand(25, 1), jnp.float32)
+    t = jnp.linspace(0.0, 2.0, 10)
+    sol, stats = odeint_with_stats(make_rhs("heat", op), x0, t,
+                                   rtol=1e-6, atol=1e-8, method="dopri5")
+    assert bool(stats.success)
+    # heat on L = D - A conserves total energy
+    sums = np.asarray(sol).sum(axis=(1, 2))
+    np.testing.assert_allclose(sums, sums[0], rtol=1e-4)
+
+
+def test_mutualistic_dense_vs_ell_and_reference_form():
+    """The closed vectorized interaction must equal the per-edge definition."""
+    a, rng = _setup()
+    x = rng.rand(25, 3).astype(np.float32)  # d>1: reference would loop over edges
+    op_d = from_dense(a)
+    op_s = from_scipy(sp.csr_matrix(a))
+    f_dense = np.asarray(mutualistic_dynamics(op_d, 0.0, jnp.asarray(x)))
+    f_ell = np.asarray(mutualistic_dynamics(op_s, 0.0, jnp.asarray(x)))
+    np.testing.assert_allclose(f_dense, f_ell, atol=1e-5)
+
+    # per-edge oracle (the definition, mutualistic_dynamics.py:202)
+    b, k, c, d5, e, h = 0.1, 5.0, 1.0, 5.0, 0.9, 0.1
+    f_ref = b + x * (1 - x / k) * (x / c - 1)
+    for i in range(25):
+        for j in range(25):
+            if a[i, j]:
+                f_ref[i] += a[i, j] * (x[i] * x[j]) / (d5 + e * x[i] + h * x[j])
+    np.testing.assert_allclose(f_dense, f_ref, atol=1e-4)
+
+
+def test_gene_dynamics_form():
+    a, rng = _setup()
+    x = rng.rand(25, 1).astype(np.float32)
+    f = np.asarray(gene_dynamics(from_dense(a), 0.0, jnp.asarray(x)))
+    expected = -x + a @ (x ** 2 / (x ** 2 + 1))
+    np.testing.assert_allclose(f, expected, atol=1e-5)
+
+
+def test_heat_sign_convention():
+    """heat_diffusion applies the minus sign; op holds L = D - A."""
+    a, _ = _setup()
+    lap = operators.laplacian_dense(a)
+    x = jnp.ones((25, 1))
+    f = heat_diffusion(from_dense(lap), 0.0, x)
+    # uniform state => L x = 0 => no flow
+    np.testing.assert_allclose(np.asarray(f), 0.0, atol=1e-5)
+
+
+def test_ndcn_forward_and_train_step():
+    a, rng = _setup()
+    om = operators.normalized_laplacian(a)
+    op = from_dense(om)
+    x0 = jnp.asarray(rng.rand(25, 1), jnp.float32)
+    vt = jnp.asarray(np.linspace(0, 1, 12), jnp.float32)
+    params = init_ndcn(jax.random.PRNGKey(0), 1, 10, 1)
+
+    out, stats = ndcn_forward(params, op, vt, x0, rtol=0.01, atol=0.001,
+                              method="dopri5")
+    assert out.shape == (12, 25, 1)
+    assert bool(stats.success)
+
+    target = jnp.zeros((12, 25, 1))
+
+    def loss_fn(p):
+        o, _ = ndcn_forward(p, op, vt, x0, rtol=0.01, atol=0.001, method="dopri5")
+        return jnp.mean(jnp.abs(o - target))
+
+    g = jax.grad(loss_fn)(params)
+    norms = [float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g)]
+    assert all(np.isfinite(norms))
+    assert sum(norms) > 0
+
+
+@pytest.mark.parametrize("flags", [
+    dict(no_embed=True), dict(no_graph=True), dict(no_control=True)])
+def test_ndcn_ablations(flags):
+    a, rng = _setup()
+    op = from_dense(operators.normalized_laplacian(a))
+    x0 = jnp.asarray(rng.rand(25, 1), jnp.float32)
+    vt = jnp.asarray(np.linspace(0, 1, 6), jnp.float32)
+    params = init_ndcn(jax.random.PRNGKey(1), 1, 8, 1,
+                       no_embed=flags.get("no_embed", False),
+                       no_control=flags.get("no_control", False))
+    out, stats = ndcn_forward(params, op, vt, x0, method="euler", **flags)
+    assert out.shape == (6, 25, 1)
+
+
+@pytest.mark.parametrize("rnn_type", ["lstm", "gru", "rnn"])
+def test_temporal_gcn_shapes_and_future(rnn_type):
+    a, rng = _setup()
+    op = from_dense(operators.zipf_smoothing(a))
+    params = init_temporal_gcn(jax.random.PRNGKey(0), 1, 5, 25, 10, rnn_type)
+    x_seq = jnp.asarray(rng.rand(25, 8), jnp.float32)
+    out = temporal_gcn_forward(params, op, x_seq, rnn_type=rnn_type, future=4)
+    assert out.shape == (25, 12)
+
+    def loss_fn(p):
+        o = temporal_gcn_forward(p, op, x_seq[:, :-1], rnn_type=rnn_type)
+        return jnp.mean(jnp.abs(o - x_seq[:, 1:]))
+
+    g = jax.grad(loss_fn)(params)
+    assert all(np.isfinite(float(jnp.abs(l).sum()))
+               for l in jax.tree_util.tree_leaves(g))
+
+
+def test_gcn_zoo_forwards():
+    a, rng = _setup()
+    op = from_dense(operators.zipf_smoothing(a))
+    x = jnp.asarray(rng.rand(25, 7), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    p = gcn_zoo.init_gcn(key, 7, 16, 3, num_middle_layers=1)
+    assert gcn_zoo.gcn_apply(p, op, x).shape == (25, 3)
+
+    p = gcn_zoo.init_deep_gcn(key, 7, 16, 3, num_middle_layers=2)
+    assert gcn_zoo.deep_gcn_apply(p, op, x).shape == (25, 3)
+
+    p = gcn_zoo.init_deep_gcn2(key, 7, 16, 3)
+    assert gcn_zoo.deep_gcn2_apply(p, op, x).shape == (25, 3)
+
+    p = gcn_zoo.init_deep_gcn3(key, 7, 16, 3, num_nodes=25)
+    assert gcn_zoo.deep_gcn3_apply(p, op, x, num_middle_layers=2).shape == (25, 3)
+
+    p = gcn_zoo.init_deep_gcn4(key, 7, 16, 3, num_middle_layers=2)
+    assert gcn_zoo.deep_gcn4_apply(p, op, x).shape == (25, 3)
+
+    p = gcn_zoo.init_res_gcn(key, 7, 16, 3, n_blocks=2, euler=True)
+    assert gcn_zoo.res_gcn_apply(p, op, x).shape == (25, 3)
+
+
+def test_row_normalize():
+    x = jnp.asarray([[1.0, 3.0], [0.0, 0.0], [-2.0, 2.0]])
+    rn = np.asarray(gcn_zoo.row_normalize(x))
+    np.testing.assert_allclose(np.abs(rn).sum(1), [1.0, 0.0, 1.0], atol=1e-6)

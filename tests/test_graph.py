@@ -1,0 +1,123 @@
+"""Graph operator / generator / container tests (property-based, SURVEY.md §4b)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from ndcn_tpu.graph import generators, operators
+from ndcn_tpu.graph.sparse import as_operator, from_dense, from_scipy, matvec, to_dense_matrix
+
+
+def _random_adj(n=30, p=0.2, seed=0):
+    rng = np.random.RandomState(seed)
+    a = (rng.rand(n, n) < p).astype(np.float64)
+    a = np.maximum(a, a.T)
+    np.fill_diagonal(a, 0.0)
+    return a
+
+
+def test_zipf_smoothing_spectrum_and_symmetry():
+    a = _random_adj()
+    op = operators.zipf_smoothing(a)
+    np.testing.assert_allclose(op, op.T, atol=1e-6)
+    eigs = np.linalg.eigvalsh(op.astype(np.float64))
+    assert eigs.max() <= 1.0 + 1e-6  # (D+I)^-1/2 (A+I) (D+I)^-1/2 has spectrum in [-1, 1]
+    assert eigs.min() >= -1.0 - 1e-6
+
+
+def test_normalized_laplacian_psd():
+    a = _random_adj()
+    lap = operators.normalized_laplacian(a).astype(np.float64)
+    eigs = np.linalg.eigvalsh((lap + lap.T) / 2)
+    assert eigs.min() >= -1e-6
+    assert eigs.max() <= 2.0 + 1e-6
+
+
+def test_laplacian_rows_sum_zero():
+    a = _random_adj()
+    lap = operators.laplacian_dense(a)
+    np.testing.assert_allclose(lap.sum(1), 0.0, atol=1e-5)
+
+
+def test_sparse_dense_agree():
+    a = _random_adj()
+    dense = operators.zipf_smoothing(a)
+    sparse = operators.zipf_smoothing_sparse(sp.csr_matrix(a)).todense()
+    np.testing.assert_allclose(dense, np.asarray(sparse, np.float32), atol=1e-6)
+
+    dense_nl = operators.normalized_laplacian(a)
+    sparse_nl = operators.normalized_laplacian_sparse(sp.csr_matrix(a)).todense()
+    np.testing.assert_allclose(dense_nl, np.asarray(sparse_nl, np.float32), atol=1e-6)
+
+
+def test_zipf_alpha_limits():
+    a = _random_adj()
+    # alpha=1 → identity; alpha=0 → D^-1/2 A D^-1/2
+    one = operators.zipf_smoothing_alpha(sp.csr_matrix(a), 1.0).todense()
+    np.testing.assert_allclose(np.asarray(one), np.eye(a.shape[0]), atol=1e-6)
+    zero = operators.zipf_smoothing_alpha(sp.csr_matrix(a), 0.0).todense()
+    np.testing.assert_allclose(np.asarray(zero), operators.normalized_adj(a), atol=1e-6)
+
+
+def test_self_loop_rejection():
+    a = _random_adj()
+    a[0, 0] = 1.0
+    with pytest.raises(ValueError):
+        operators.zipf_smoothing_sparse(sp.csr_matrix(a))
+
+
+def test_row_normalization():
+    a = _random_adj()
+    rn = np.asarray(operators.row_normalization(sp.csr_matrix(a)).todense())
+    rowsums = rn.sum(1)
+    nz = a.sum(1) > 0
+    np.testing.assert_allclose(rowsums[nz], 1.0, atol=1e-6)
+
+
+def test_grid_8_neighbor():
+    a = generators.grid_8_neighbor_adjacency(4)
+    assert a.shape == (16, 16)
+    np.testing.assert_allclose(a, a.T)
+    # corner has 3 neighbors, center has 8
+    assert a[0].sum() == 3
+    assert a[5].sum() == 8
+    assert np.trace(a) == 0
+
+
+@pytest.mark.parametrize("kind", ["grid", "random", "power_law", "small_world", "community"])
+def test_build_network(kind):
+    a = generators.build_network(kind, 100, seed=0)
+    assert a.shape[0] == a.shape[1]
+    np.testing.assert_allclose(a, a.T, atol=0)
+    assert np.trace(a) == 0
+    # reproducible with the same seed (grid is deterministic anyway)
+    b = generators.build_network(kind, 100, seed=0)
+    np.testing.assert_allclose(a, b)
+
+
+def test_ell_matvec_matches_dense():
+    import jax.numpy as jnp
+    a = _random_adj(40)
+    x = np.random.RandomState(1).rand(40, 5).astype(np.float32)
+    dense = from_dense(a)
+    ell = from_scipy(sp.csr_matrix(a))
+    y_dense = matvec(dense, jnp.asarray(x))
+    y_ell = matvec(ell, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_dense), np.asarray(y_ell), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(to_dense_matrix(ell)), a.astype(np.float32),
+                               atol=1e-6)
+
+
+def test_as_operator_switch():
+    a = _random_adj(10)
+    assert as_operator(a, sparse=False).__class__.__name__ == "DenseGraph"
+    assert as_operator(a, sparse=True).__class__.__name__ == "EllGraph"
+    assert as_operator(sp.csr_matrix(a), sparse=True).__class__.__name__ == "EllGraph"
+
+
+def test_grid_block_initial_value():
+    x0 = generators.grid_block_initial_value(20)
+    assert x0.shape == (400, 1)
+    vals = set(np.unique(x0).tolist())
+    assert vals == {0.0, 17.0, 20.0, 25.0}
+    assert float(x0.sum()) > 0
