@@ -1,0 +1,204 @@
+"""Headline benchmark: NDCN training-step throughput on the flagship config.
+
+Workload: one full training step (forward through the adaptive dopri5 solve over
+the irregular 80-point observation grid + backprop through the solver + L1 loss)
+of the NDCN model on the 400-node heat-grid config — BASELINE.md config #1, the
+hot loop of every dynamics experiment (reference heat_dynamics.py:313-334).
+
+Baseline: the same model/step in eager PyTorch on CPU with a clean-room
+Dormand-Prince 5(4) integrator written below (python stepping loop over tensor
+ops + autograd through solver internals — the reference's execution style and its
+default gradient path). vs_baseline = jax-on-current-device / torch-on-cpu.
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+N_GRID = 20           # 400 nodes
+HIDDEN = 20
+RTOL, ATOL = 0.01, 0.001
+T_TOTAL, TICK = 5.0, 100
+
+
+def setup_problem():
+    from ndcn_tpu.graph import generators, operators
+    from ndcn_tpu.train.sampling import sample_times
+
+    adj = generators.build_network("grid", N_GRID * N_GRID, seed=0)
+    om = operators.normalized_laplacian(adj)
+    splits = sample_times(T_TOTAL, TICK, "irregular", seed=0)
+    t_train = splits.t[splits.id_train]
+    x0 = generators.grid_block_initial_value(N_GRID).astype(np.float32)
+    return om, t_train, x0
+
+
+# -------------------------------------------------------------------- jax side
+
+
+def bench_jax(om, t_train, x0, reps=50):
+    import jax
+    import jax.numpy as jnp
+
+    from ndcn_tpu.graph.sparse import from_dense
+    from ndcn_tpu.models import init_ndcn, ndcn_forward
+
+    log(f"[jax] device={jax.devices()[0]} (compiling...)")
+    op = from_dense(om)
+    vt = jnp.asarray(t_train)
+    x0j = jnp.asarray(x0)
+    params = init_ndcn(jax.random.PRNGKey(0), 1, HIDDEN, 1)
+
+    def loss_fn(p):
+        out, stats = ndcn_forward(p, op, vt, x0j, rtol=RTOL, atol=ATOL,
+                                  method="dopri5", max_steps=128)
+        return jnp.mean(jnp.abs(out)), stats.nfe
+
+    @jax.jit
+    def train_step(p):
+        (loss, nfe), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        p = jax.tree_util.tree_map(lambda a, g: a - 0.01 * g, p, grads)
+        return p, loss, nfe
+
+    p, loss, nfe = jax.block_until_ready(train_step(params))
+    nfe = int(nfe)
+    log(f"[jax] nfe/solve={nfe}")
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        p, loss, _ = train_step(p)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return reps / dt, nfe
+
+
+# ------------------------------------------------------------------ torch side
+# Clean-room eager Dormand-Prince 5(4) (standard literature tableau), python
+# stepping loop over tensor ops, gradients via autograd through the loop.
+
+_DP_A = [
+    [],
+    [1 / 5],
+    [3 / 40, 9 / 40],
+    [44 / 45, -56 / 15, 32 / 9],
+    [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+    [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+    [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+]
+_DP_B = [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0]
+_DP_BHAT = [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+            187 / 2100, 1 / 40]
+
+
+def bench_torch(om, t_train, x0, reps=10):
+    import torch
+
+    a = torch.asarray(om)
+    x0t = torch.asarray(x0)
+    ts = [float(v) for v in t_train]
+    g = torch.Generator().manual_seed(0)
+
+    def lin(i, o):
+        bound = 1.0 / np.sqrt(i)
+        return (torch.empty(i, o).uniform_(-bound, bound, generator=g).requires_grad_(),
+                torch.empty(o).uniform_(-bound, bound, generator=g).requires_grad_())
+
+    w1, b1 = lin(1, HIDDEN)
+    w2, b2 = lin(HIDDEN, HIDDEN)
+    wo, bo = lin(HIDDEN, HIDDEN)
+    wd, bd = lin(HIDDEN, 1)
+    params = [w1, b1, w2, b2, wo, bo, wd, bd]
+    nfe_counter = [0]
+
+    def rhs(t, h):
+        nfe_counter[0] += 1
+        return torch.relu((a @ h) @ wo + bo)
+
+    def solve(y0):
+        t, y, f, dt = ts[0], y0, rhs(ts[0], y0), 0.01
+        out, obs = [y0], 1
+        t_prev, y_prev = t, y
+        while obs < len(ts):
+            k = [f]
+            for i in range(1, 7):
+                yi = y
+                for j, aij in enumerate(_DP_A[i]):
+                    if aij:
+                        yi = yi + dt * aij * k[j]
+                k.append(rhs(t + dt, yi))
+            y1 = y
+            for bi, ki in zip(_DP_B, k):
+                if bi:
+                    y1 = y1 + dt * bi * ki
+            err = None
+            for bi, bh, ki in zip(_DP_B, _DP_BHAT, k):
+                d = bi - bh
+                if d:
+                    err = dt * d * ki if err is None else err + dt * d * ki
+            tol = ATOL + RTOL * torch.maximum(y.detach().abs(), y1.detach().abs())
+            ratio = float((err.detach() / tol).pow(2).mean())
+            if ratio <= 1.0:
+                t_prev, y_prev = t, y
+                t, y, f = t + dt, y1, k[6]
+                while obs < len(ts) and ts[obs] <= t:
+                    w = (ts[obs] - t_prev) / max(t - t_prev, 1e-12)
+                    out.append(y_prev + w * (y - y_prev))
+                    obs += 1
+            dt = dt / max(0.1, min((max(ratio, 1e-30) ** 0.5) ** 0.2 / 0.9,
+                                   5.0 if ratio > 1 else 1.0))
+            dt = max(dt, 1e-7)
+        return torch.stack(out)
+
+    def train_step():
+        h = torch.tanh(x0t @ w1 + b1) @ w2 + b2
+        traj = solve(h)
+        pred = traj @ wd + bd
+        loss = pred.abs().mean()
+        loss.backward()
+        for p in params:
+            with torch.no_grad():
+                p -= 0.01 * p.grad
+            p.grad = None
+        return loss
+
+    train_step()  # warm
+    nfe_counter[0] = 0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        train_step()
+    dt = time.perf_counter() - t0
+    log(f"[torch] cpu nfe/solve={nfe_counter[0] // reps}")
+    return reps / dt, nfe_counter[0] // reps
+
+
+def main():
+    om, t_train, x0 = setup_problem()
+    jax_steps_per_s, jax_nfe = bench_jax(om, t_train, x0)
+    log(f"[jax] {jax_steps_per_s:.2f} train steps/s")
+    try:
+        torch_steps_per_s, torch_nfe = bench_torch(om, t_train, x0)
+        log(f"[torch] {torch_steps_per_s:.2f} train steps/s")
+        vs = jax_steps_per_s / torch_steps_per_s
+    except Exception as e:
+        log(f"[torch] baseline unavailable: {e}")
+        vs = float("nan")
+
+    print(json.dumps({
+        "metric": "ndcn dopri5 train steps/sec (heat-grid 400n, fwd+bwd through solver)",
+        "value": round(jax_steps_per_s, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(vs, 2) if np.isfinite(vs) else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,270 @@
+"""Semi-supervised node classification on citation networks (reference: dgnn.py).
+
+Flag surface, model zoo, training/eval protocol, per-epoch log format, --iter
+accumulation semantics (the model keeps training across ITERs — dgnn.py:248-251
+builds the model once), TSV dump and the accuracy summary statistics all match
+the reference. Defaults: hidden 16, dropout 0.5, wd 5e-4, T=2, tick 5, dopri5
+with rtol=atol=0.1, alpha 0.5 (dgnn.py:24-70).
+
+TPU-first: the whole epoch (full-batch forward+backward+update) is one jitted
+step with donated optimizer state; evaluation is a second jitted function.
+
+Usage: python -m ndcn_tpu.experiments.dgnn --dataset cora --model differential_gcn \
+           --iter 5 --dropout 0 --hidden 256 --T 1.2 --time_tick 16 --epochs 100 \
+           --weight_decay 0.024 --no_control --method dopri5 --alpha 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import time
+from typing import Any, Dict
+
+import numpy as np
+
+MODELS = ("DeepGCN", "GCN", "DeepGCN2", "DeepGCN3", "DeepGCN4", "resGCN",
+          "odeGCN", "differential_gcn")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("dgnn")
+    p.add_argument("--fastmode", action="store_true", default=False,
+                   help="skip the eval-mode re-forward for val metrics")
+    p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--rtol", type=float, default=0.1)
+    p.add_argument("--atol", type=float, default=0.1)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("-nhl", "--nHiddenLayers", type=int, default=0)
+    p.add_argument("--hidden", type=int, default=16)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--dataset", type=str, default="cora")
+    p.add_argument("--model", type=str, default="GCN", choices=list(MODELS))
+    p.add_argument("--iter", type=int, default=1)
+    p.add_argument("--dump", action="store_true", default=False)
+    p.add_argument("--delta", type=float, default=1.0)
+    p.add_argument("--normalize", action="store_true", default=False)
+    p.add_argument("--Euler", action="store_true", default=False)
+    p.add_argument("--T", type=float, default=2.0)
+    p.add_argument("--time_tick", type=int, default=5)
+    p.add_argument("--no_control", action="store_true")
+    p.add_argument("--method", type=str, default="dopri5",
+                   choices=["dopri5", "adams", "explicit_adams", "fixed_adams",
+                            "tsit5", "euler", "midpoint", "rk4"])
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--sparse", action="store_true",
+                   help="ELL sparse operator (auto for > 8192 nodes)")
+    p.add_argument("--max_steps", type=int, default=64,
+                   help="adaptive step budget for the differentiable solve")
+    p.add_argument("--data_dir", type=str, default="data")
+    from ndcn_tpu.utils.platform import add_platform_flag
+    add_platform_flag(p)
+    return p
+
+
+def run(args: argparse.Namespace) -> Dict[str, Any]:
+    from ndcn_tpu.utils.platform import force_platform, set_matmul_precision
+    force_platform(args.platform)
+    set_matmul_precision(args.precision)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ndcn_tpu.data import load_planetoid
+    from ndcn_tpu.graph.sparse import as_operator
+    from ndcn_tpu.models import gcn_zoo, init_ndcn, ndcn_forward
+    from ndcn_tpu.train.losses import accuracy, cross_entropy
+    from ndcn_tpu.train.optim import torch_adam
+
+    if args.seed != -1:
+        np.random.seed(args.seed)
+    t_very_beginning = time.time()
+
+    data = load_planetoid(args.dataset, alpha=args.alpha, data_dir=args.data_dir)
+    print("Load data done")
+    n, in_dim = data.features.shape
+    num_classes = int(data.labels.max()) + 1
+    use_sparse = args.sparse or n > 8192
+    op = as_operator(data.operator, sparse=use_sparse)
+
+    features = jnp.asarray(data.features)
+    labels = jnp.asarray(data.labels)
+    idx_train = jnp.asarray(data.idx_train)
+    idx_val = jnp.asarray(data.idx_val)
+    idx_test = jnp.asarray(data.idx_test)
+
+    key = jax.random.PRNGKey(args.seed if args.seed != -1 else 0)
+    key, init_key = jax.random.split(key)
+
+    # ------------------------------------------------------------ model zoo
+    model_name = args.model
+    nhl = args.nHiddenLayers
+    vt = jnp.asarray(np.linspace(0, args.T, args.time_tick), jnp.float32)
+
+    if model_name == "GCN":
+        params = gcn_zoo.init_gcn(init_key, in_dim, args.hidden, num_classes, nhl)
+
+        def apply(p, rng, deterministic):
+            return gcn_zoo.gcn_apply(p, op, features, args.dropout, rng,
+                                     deterministic)
+    elif model_name == "DeepGCN":
+        params = gcn_zoo.init_deep_gcn(init_key, in_dim, args.hidden, num_classes, nhl)
+
+        def apply(p, rng, deterministic):
+            return gcn_zoo.deep_gcn_apply(p, op, features, args.dropout, rng,
+                                          deterministic)
+    elif model_name == "DeepGCN2":
+        params = gcn_zoo.init_deep_gcn2(init_key, in_dim, args.hidden, num_classes)
+
+        def apply(p, rng, deterministic):
+            return gcn_zoo.deep_gcn2_apply(p, op, features, args.dropout, rng,
+                                           deterministic)
+    elif model_name == "DeepGCN3":
+        params = gcn_zoo.init_deep_gcn3(init_key, in_dim, args.hidden, num_classes, n)
+
+        def apply(p, rng, deterministic):
+            return gcn_zoo.deep_gcn3_apply(p, op, features, nhl, args.dropout, rng,
+                                           deterministic)
+    elif model_name == "DeepGCN4":
+        params = gcn_zoo.init_deep_gcn4(init_key, in_dim, args.hidden, num_classes, nhl)
+
+        def apply(p, rng, deterministic):
+            return gcn_zoo.deep_gcn4_apply(p, op, features, args.dropout, rng,
+                                           deterministic)
+    elif model_name == "resGCN":
+        params = gcn_zoo.init_res_gcn(init_key, in_dim, args.hidden, num_classes,
+                                      n_blocks=nhl, euler=args.Euler)
+
+        def apply(p, rng, deterministic):
+            return gcn_zoo.res_gcn_apply(p, op, features, args.dropout, rng,
+                                         deterministic, normalize=args.normalize)
+    elif model_name == "odeGCN":
+        # The reference's odeGCN wiring cannot run (ODEBlock.forward takes (vt, x)
+        # but sits in nn.Sequential, dgnn.py:143-160); this implements the evident
+        # intent: encoder → ODE(relu(dropout(A h))) over linspace(0,1.9,10),
+        # terminal state → decoder (cf. the commented block ode_gcn.py:85-109).
+        params = init_ndcn(init_key, in_dim, args.hidden, num_classes,
+                           no_control=True, encoder_layers=2)
+        vt_ode = jnp.asarray(np.linspace(0, 1.9, 10), jnp.float32)
+
+        def apply(p, rng, deterministic):
+            out, _ = ndcn_forward(
+                p, op, vt_ode, features, rtol=args.rtol, atol=args.atol,
+                method=args.method, terminal=True, no_control=True,
+                dropout=0.0 if deterministic else args.dropout, rng=rng,
+                max_steps=args.max_steps)
+            return out
+    elif model_name == "differential_gcn":
+        print("T : {}, time tick: {}".format(args.T, args.time_tick))
+        params = init_ndcn(init_key, in_dim, args.hidden, num_classes,
+                           no_control=args.no_control, encoder_layers=1)
+
+        def apply(p, rng, deterministic):
+            out, _ = ndcn_forward(
+                p, op, vt, features, rtol=args.rtol, atol=args.atol,
+                method=args.method, terminal=True, no_control=args.no_control,
+                dropout=0.0 if deterministic else args.dropout, rng=rng,
+                max_steps=args.max_steps)
+            return out
+    else:
+        raise ValueError(f"unknown model {model_name}")
+
+    opt = torch_adam(args.lr, args.weight_decay)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(p, s, rng):
+        def loss_fn(q):
+            logits = apply(q, rng, deterministic=False)
+            return cross_entropy(logits[idx_train], labels[idx_train]), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, s = opt.update(grads, s, p)
+        p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+        return p, s, loss, logits
+
+    @jax.jit
+    def eval_logits(p):
+        return apply(p, None, deterministic=True)
+
+    def metrics(logits, idx):
+        return (float(cross_entropy(logits[idx], labels[idx])),
+                float(accuracy(logits[idx], labels[idx])))
+
+    # -------------------------------------------------------------- training
+    fout = None
+    fname = None
+    if args.dump:
+        os.makedirs("results", exist_ok=True)
+        stamp = datetime.datetime.now().__str__().replace(":", "-")
+        fname = f"results/results_{stamp}.txt"
+        fout = open(fname, "w")
+        fout.write(vars(args).__str__() + "\n")
+        fout.write("Time\tLoss\tAccuracy\tStep\n")
+
+    rows = []
+    for it in range(args.iter):
+        t_start = time.time()
+        for epoch in range(args.epochs):
+            t_epoch = time.time()
+            key, rng = jax.random.split(key)
+            params, opt_state, loss_train, train_logits = train_step(
+                params, opt_state, rng)
+            if args.fastmode:
+                logits = train_logits
+            else:
+                logits = eval_logits(params)
+            loss_tr, acc_tr = metrics(logits, idx_train)
+            loss_val, acc_val = metrics(logits, idx_val)
+            print("ITER: {:04d}".format(it + 1),
+                  "Epoch: {:04d}".format(epoch + 1),
+                  "loss_train: {:.4f}".format(float(loss_train)),
+                  "acc_train: {:.4f}".format(acc_tr),
+                  "loss_val: {:.4f}".format(loss_val),
+                  "acc_val: {:.4f}".format(acc_val),
+                  "time: {:.4f}s".format(time.time() - t_epoch))
+        print("Optimization Finished!")
+        t_total = time.time() - t_start
+        print("Total time elapsed: {:.4f}s".format(t_total))
+
+        logits = eval_logits(params)
+        loss_test, acc_test = metrics(logits, idx_test)
+        print("Test set results:", "loss= {:.4f}".format(loss_test),
+              "accuracy= {:.4f}".format(acc_test))
+        rows.append((t_total, loss_test, acc_test, 0.0))
+        if fout is not None:
+            fout.write("{:.5f}\t{:.5f}\t{:.5f}\t{:.5f}\n".format(*rows[-1]))
+            fout.flush()
+
+    total = time.time() - t_very_beginning
+    print("DONE!\nTotal time: {:.4f}s;\n".format(total))
+
+    summary: Dict[str, Any] = {"rows": rows, "total_time": total, "fname": fname}
+    if args.dump and rows:
+        fout.close()
+        accs = np.array([r[2] for r in rows])
+        steps = np.array([r[3] for r in rows])
+        summary.update(acc_mean=float(accs.mean()),
+                       acc_std=float(accs.std(ddof=1)) if len(accs) > 1 else 0.0,
+                       acc_median=float(np.median(accs)),
+                       acc_min=float(accs.min()), acc_max=float(accs.max()))
+        print(vars(args).__str__())
+        print("results: {:.3f}% +/- {:.3f}%, {:.3f}% (Median);".format(
+            summary["acc_mean"] * 100, summary["acc_std"] * 100,
+            summary["acc_median"] * 100))
+        print("Min_Acc: {:.3f}%, Max_Acc: {:.3f}%".format(
+            summary["acc_min"] * 100, summary["acc_max"] * 100))
+        print("Time_Step: {:.5f};".format(float(steps.mean())))
+    return summary
+
+
+def main(argv=None) -> Dict[str, Any]:
+    args, _ = build_parser().parse_known_args(argv)
+    return run(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,14 +59,18 @@ def build_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--max_steps", type=int, default=256,
                    help="adaptive step budget for the differentiable solve")
     p.add_argument("--results_dir", type=str, default=None)
+    p.add_argument("--ckpt_dir", type=str, default=None,
+                   help="enable periodic checkpoint/resume in this directory")
+    p.add_argument("--ckpt_freq", type=int, default=200)
     from ndcn_tpu.utils.platform import add_platform_flag
     add_platform_flag(p)
     return p
 
 
 def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
-    from ndcn_tpu.utils.platform import force_platform
+    from ndcn_tpu.utils.platform import force_platform, set_matmul_precision
     force_platform(args.platform)
+    set_matmul_precision(args.precision)
 
     import jax
     import jax.numpy as jnp
@@ -80,6 +84,7 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
     from ndcn_tpu.report import results as results_lib
     from ndcn_tpu.train.losses import l1_loss
     from ndcn_tpu.train.optim import torch_adam
+    from ndcn_tpu.train.checkpoint import restore_or_init, save_checkpoint
     from ndcn_tpu.train.sampling import sample_times
     from ndcn_tpu.utils.timing import Timer
 
@@ -187,6 +192,7 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
     # ------------------------------------------------------------- training
     opt = torch_adam(args.lr, args.weight_decay)
     opt_state = opt.init(params)
+    params, opt_state, start_iter = restore_or_init(args.ckpt_dir, params, opt_state)
 
     @jax.jit
     def train_step(p, s, rng):
@@ -233,9 +239,12 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
 
     rng = jax.random.PRNGKey(args.seed + 1)
     loss = rel = jnp.asarray(0.0)
-    for itr in range(1, args.niters + 1):
+    for itr in range(start_iter + 1, args.niters + 1):
         rng, step_rng = jax.random.split(rng)
         params, opt_state, loss, rel = train_step(params, opt_state, step_rng)
+
+        if args.ckpt_dir and itr % args.ckpt_freq == 0:
+            save_checkpoint(args.ckpt_dir, itr, params, opt_state)
 
         if itr % args.test_freq == 0:
             ev = evaluate(params)

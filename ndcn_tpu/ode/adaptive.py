@@ -49,6 +49,7 @@ class AdaptiveMethod:
     interp_init: Callable
     interp_make: Callable
     interp_eval: Callable
+    interp_eval_batch: Callable
 
 
 DOPRI5_METHOD = AdaptiveMethod(
@@ -57,6 +58,7 @@ DOPRI5_METHOD = AdaptiveMethod(
     interp_init=interp_lib.dopri5_interp_init,
     interp_make=interp_lib.dopri5_interp_state,
     interp_eval=interp_lib.dopri5_interp_eval,
+    interp_eval_batch=interp_lib.dopri5_interp_eval_batch,
 )
 
 TSIT5_METHOD = AdaptiveMethod(
@@ -65,6 +67,7 @@ TSIT5_METHOD = AdaptiveMethod(
     interp_init=interp_lib.tsit5_interp_init,
     interp_make=interp_lib.tsit5_interp_state,
     interp_eval=interp_lib.tsit5_interp_eval,
+    interp_eval_batch=interp_lib.tsit5_interp_eval_batch,
 )
 
 
@@ -183,8 +186,14 @@ def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
     reached are skipped via lax.cond (no RHS evals, frozen carry). Gradient
     semantics mirror the reference's default path: the whole step/controller
     arithmetic is on the tape (heat_dynamics.py:333 backprops through the solver).
+
+    Each iteration emits its dense-output interval state; after the scan, all
+    observation times are evaluated by one vectorized searchsorted + gather over
+    the emitted buffers. Each iteration is rematerialized in the backward pass
+    (per-step residuals would otherwise dominate the reverse sweep), and the
+    emitted buffers keep the solution out of the scan carry (a carried solution
+    buffer costs a full copy per iteration through lax.cond).
     """
-    T = t.shape[0]
     tdtype = t.dtype
     t_final = t[-1]
     rk0, nfe0 = _init_rk_state(method, func, y0, t[0], ctrl, first_step, tdtype)
@@ -202,23 +211,24 @@ def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
                     nrej=c["nrej"] + (~accept).astype(jnp.int32),
                     ok=c["ok"] & ~underflow)
 
-    def body(c, _):
+    @jax.checkpoint
+    def body_fn(c):
         done = (c["rk"]["t1"] >= t_final) | (~c["ok"])
         c = jax.lax.cond(done, lambda x: x, step, c)
         rk = c["rk"]
-        emit = dict(t0=rk["t0"], t1=rk["t1"], interp=rk["interp"])
-        return c, emit
+        return c, dict(t0=rk["t0"], t1=rk["t1"], interp=rk["interp"])
 
-    final, steps = jax.lax.scan(body, carry0, None, length=max_steps)
+    final, steps = jax.lax.scan(lambda c, _: body_fn(c), carry0, None,
+                                length=max_steps)
 
     # Vectorized dense-output evaluation of all observation times > t[0].
-    # t1 trace is non-decreasing; for each obs the first index with t1 >= t_obs is
-    # the accepted step covering it (rejected/frozen iterations re-emit the last
-    # accepted interval, so any index with equal t1 carries identical interp data).
+    # The t1 trace is non-decreasing; for each obs the first index with
+    # t1 >= t_obs is an iteration holding the accepted interval covering it
+    # (rejected/frozen iterations re-emit the last accepted interval, so any
+    # index with equal t1 carries identical interp data).
     idx = jnp.searchsorted(steps["t1"], t[1:], side="left")
     idx = jnp.clip(idx, 0, max_steps - 1)
     g = tree_map(lambda buf: buf[idx], steps)
-
     ys_obs = jax.vmap(method.interp_eval)(g["interp"], g["t0"], g["t1"], t[1:])
     sol = tree_map(lambda y, ys: jnp.concatenate([y[None], ys], axis=0), y0, ys_obs)
 

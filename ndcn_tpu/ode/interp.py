@@ -92,6 +92,43 @@ def tsit5_interp_eval(state, t0, t1, t):
     return tree_map(per_leaf, state["y0"], state["k"])
 
 
+def dopri5_interp_eval_batch(state, t0, t1, ts):
+    """Evaluate the quartic fit at a vector of times (T,) → leaves (T, *shape).
+
+    Coefficients are computed once per interval; the polynomial is evaluated for
+    all observation times in one broadcast (the differentiable scan path does this
+    per accepted step with masking — see adaptive.solve_scan)."""
+    dt = t1 - t0
+    x = (ts - t0) / jnp.where(dt == 0, 1.0, dt)  # (T,)
+
+    def per_leaf(y0, y1, ym, f0, f1):
+        dty = dt.astype(y0.dtype)
+        xl = x.astype(y0.dtype).reshape((-1,) + (1,) * y0.ndim)
+        a = -2.0 * dty * f0 + 2.0 * dty * f1 - 8.0 * y0 - 8.0 * y1 + 16.0 * ym
+        b = 5.0 * dty * f0 - 3.0 * dty * f1 + 18.0 * y0 + 14.0 * y1 - 32.0 * ym
+        c = -4.0 * dty * f0 + dty * f1 - 11.0 * y0 - 5.0 * y1 + 16.0 * ym
+        d = dty * f0
+        e = y0
+        return (((a * xl + b) * xl + c) * xl + d) * xl + e
+
+    return tree_map(per_leaf, state["y0"], state["y1"], state["y_mid"],
+                    state["f0"], state["f1"])
+
+
+def tsit5_interp_eval_batch(state, t0, t1, ts):
+    """Vectorized tsit5 dense output over a time vector (T,) → (T, *shape)."""
+    dt = t1 - t0
+    x = (ts - t0) / jnp.where(dt == 0, 1.0, dt)  # (T,)
+    b = _tsit5_b_coeffs(x)  # (7, T)
+
+    def per_leaf(y0, k):
+        bl = b.astype(y0.dtype)
+        contrib = jnp.tensordot(bl.T, k, axes=1)  # (T, *shape)
+        return y0[None] + dt.astype(y0.dtype) * contrib
+
+    return tree_map(per_leaf, state["y0"], state["k"])
+
+
 def linear_interp(t0, t1, y0, y1, t):
     """Linear interpolation used by fixed-grid solvers (solvers.py:104-108)."""
     dt = t1 - t0

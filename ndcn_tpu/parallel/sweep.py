@@ -1,0 +1,90 @@
+"""Batched experiment sweeps: vmap over replicas, sharded over the device mesh.
+
+The concrete win at this workload's scale (SURVEY.md §5): the reference repeats
+dgnn --iter 100 times and runs 15 dynamics×graph combos sequentially on one
+device; here independent replicas train simultaneously — vmap makes one program
+of B replicas, the 'data' mesh axis spreads them over chips, and the 'model'
+axis row-shards the (shared) graph operator and node-major activations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ndcn_tpu.graph.sparse import DenseGraph
+from ndcn_tpu.models import init_ndcn, ndcn_forward
+from ndcn_tpu.parallel import mesh as mesh_lib
+from ndcn_tpu.train.losses import l1_loss
+from ndcn_tpu.train.optim import torch_adam
+
+
+def batched_init(init_fn: Callable, key, n_replicas: int):
+    """Stack per-replica params along a new leading axis: vmap of init."""
+    keys = jax.random.split(key, n_replicas)
+    return jax.vmap(init_fn)(keys)
+
+
+def make_sharded_ndcn_train_step(mesh, op: DenseGraph, vt, x0, target, *,
+                                 rtol=0.01, atol=0.001, method="dopri5",
+                                 lr=0.01, weight_decay=1e-3, max_steps=64,
+                                 hidden=20):
+    """A jitted multi-replica NDCN training step with dp + node (tensor) sharding.
+
+    Returns (init_fn, step_fn):
+      init_fn(key, n_replicas) -> (params_B, opt_state_B) placed on the mesh
+      step_fn(params_B, opt_state_B) -> (params_B, opt_state_B, losses_B)
+
+    Shardings: params/opt_state replica-sharded over 'data'; the operator
+    row-sharded over 'model'; x0/target replicated over 'data' and row-sharded
+    over 'model'. XLA inserts the all-gather of the hidden state that row-parallel
+    A·X needs.
+    """
+    opt = torch_adam(lr, weight_decay)
+    in_dim = x0.shape[-1]
+
+    def init_one(key):
+        return init_ndcn(key, in_dim, hidden, in_dim)
+
+    def loss_one(params):
+        out, _ = ndcn_forward(params, op, vt, x0, rtol=rtol, atol=atol,
+                              method=method, max_steps=max_steps)
+        return l1_loss(out, target)
+
+    def step_one(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_one)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda a, u: a + u, params, updates)
+        return params, opt_state, loss
+
+    rep = mesh_lib.replica_sharding(mesh)
+
+    def init_fn(key, n_replicas: int):
+        params = batched_init(init_one, key, n_replicas)
+        opt_state = jax.vmap(opt.init)(params)
+        params = jax.tree_util.tree_map(lambda l: jax.device_put(l, rep), params)
+        opt_state = jax.tree_util.tree_map(lambda l: jax.device_put(l, rep), opt_state)
+        return params, opt_state
+
+    vstep = jax.vmap(step_one)
+    step_fn = jax.jit(vstep,
+                      in_shardings=(rep, rep),
+                      out_shardings=(rep, rep, rep))
+    return init_fn, step_fn
+
+
+def place_problem_on_mesh(mesh, op: DenseGraph, x0, target, vt):
+    """Shard the shared problem data: operator rows and node-major arrays over
+    'model', time grid replicated."""
+    op_sh = mesh_lib.operator_sharding(mesh)
+    node_sh = mesh_lib.node_sharding(mesh)
+    repl = mesh_lib.replicated(mesh)
+    op = DenseGraph(mat=jax.device_put(op.mat, op_sh))
+    x0 = jax.device_put(x0, node_sh)
+    target = jax.device_put(target, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "model", None)))
+    vt = jax.device_put(vt, repl)
+    return op, x0, target, vt

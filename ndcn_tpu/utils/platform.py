@@ -21,7 +21,19 @@ def force_platform(platform: str) -> None:
     jax.config.update("jax_platforms", platform)
 
 
+def set_matmul_precision(precision: str) -> None:
+    """TPU MXU precision: 'default' truncates f32 matmul inputs to bf16 (fast);
+    'highest' keeps full f32 (use for numerical-parity runs)."""
+    if precision and precision != "default":
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", precision)
+
+
 def add_platform_flag(parser) -> None:
     parser.add_argument("--platform", type=str, default="default",
                         choices=["default", "tpu", "cpu"],
                         help="JAX platform override (reference: --gpu -1 == cpu)")
+    parser.add_argument("--precision", type=str, default="default",
+                        choices=["default", "high", "highest"],
+                        help="matmul precision on the MXU (highest = full f32)")
