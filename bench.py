@@ -14,10 +14,15 @@ Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: the grad-of-scan programs take minutes to
+# compile through the axon TPU tunnel; caching makes repeat bench runs instant.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ndcn_jax_cache")
 
 
 def log(*a):
@@ -60,7 +65,7 @@ def bench_jax(om, t_train, x0, reps=50):
 
     def loss_fn(p):
         out, stats = ndcn_forward(p, op, vt, x0j, rtol=RTOL, atol=ATOL,
-                                  method="dopri5", max_steps=128)
+                                  method="dopri5", max_steps=32)
         return jnp.mean(jnp.abs(out)), stats.nfe
 
     @jax.jit

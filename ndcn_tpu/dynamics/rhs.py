@@ -41,12 +41,23 @@ def gene_dynamics(op: GraphOperator, t, x, b: float = 1.0, f: float = 1.0,
 
 def mutualistic_dynamics(op: GraphOperator, t, x, b: float = 0.1, k: float = 5.0,
                          c: float = 1.0, d: float = 5.0, e: float = 0.9,
-                         h: float = 0.1):
+                         h: float = 0.1, convention: str = "reference"):
     """Logistic growth with saturating pairwise mutualistic interaction.
 
-    Interaction term for node i, feature dim m:
+    Interaction term for node i, feature dim m (paper form):
         sum_j A_ij * x_im * x_jm / (d + e*x_im + h*x_jm)
+
+    ``convention``: the reference's two code paths disagree — its d=1 matrix
+    trick (mutualistic_dynamics.py:206-216, the path every reference experiment
+    actually runs since x0 is (n,1)) evaluates ``d + e*x_j + h*x_i``, while its
+    docstring and its d>1 per-edge loop (:218-231) evaluate ``d + e*x_i + h*x_j``.
+    'reference' (default) matches the operative d=1 behavior, 'paper' the written
+    equation; with e=0.9, h=0.1 they produce different trajectories.
     """
+    if convention == "reference":
+        e, h = h, e
+    elif convention != "paper":
+        raise ValueError("convention must be 'reference' or 'paper'")
     f = b + x * (1.0 - x / k) * (x / c - 1.0)
     if isinstance(op, DenseGraph):
         xi = x[:, None, :]                       # (n, 1, dim)

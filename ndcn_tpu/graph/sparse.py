@@ -42,7 +42,19 @@ class EllGraph(NamedTuple):
         return self.cols.shape[0]
 
 
-GraphOperator = Union[DenseGraph, EllGraph]
+class BsrGraph(NamedTuple):
+    """Block-sparse operator served by the Pallas SpMM kernel (kernels/bsr_spmm).
+
+    Holds both A and Aᵀ packings so A·X is differentiable in X."""
+    fwd: "object"   # BsrMatrix
+    bwd: "object"   # BsrMatrix of the transpose
+
+    @property
+    def n_nodes(self) -> int:
+        return self.fwd.n_rows
+
+
+GraphOperator = Union[DenseGraph, EllGraph, BsrGraph]
 
 
 def from_dense(mat: np.ndarray, dtype=jnp.float32) -> DenseGraph:
@@ -70,19 +82,39 @@ def from_scipy(mat: sp.spmatrix, pad_to_multiple: int = 8,
     return EllGraph(cols=jnp.asarray(cols), vals=jnp.asarray(vals, dtype))
 
 
-def as_operator(mat, sparse: bool = False, dtype=jnp.float32) -> GraphOperator:
-    """Build a device operator from numpy / scipy input (the --sparse switch)."""
-    if sp.issparse(mat):
-        return from_scipy(mat, dtype=dtype) if sparse else from_dense(
-            np.asarray(mat.todense()), dtype)
-    return from_scipy(sp.csr_matrix(np.asarray(mat)), dtype=dtype) if sparse else (
-        from_dense(np.asarray(mat), dtype))
+def from_scipy_bsr_graph(mat: sp.spmatrix) -> BsrGraph:
+    from ndcn_tpu.kernels.bsr_spmm import from_scipy_bsr
+
+    csr = sp.csr_matrix(mat)
+    return BsrGraph(fwd=from_scipy_bsr(csr), bwd=from_scipy_bsr(csr.T.tocsr()))
+
+
+def as_operator(mat, sparse: bool = False, dtype=jnp.float32,
+                format: str = "ell") -> GraphOperator:
+    """Build a device operator from numpy / scipy input (the --sparse switch).
+
+    ``format`` picks the sparse layout: 'ell' (portable gather SpMV) or 'bsr'
+    (Pallas block-sparse SpMM kernel; best for large graphs on TPU).
+    """
+    if not sparse:
+        dense = np.asarray(mat.todense()) if sp.issparse(mat) else np.asarray(mat)
+        return from_dense(dense, dtype)
+    csr = sp.csr_matrix(mat)
+    if format == "bsr":
+        return from_scipy_bsr_graph(csr)
+    if format != "ell":
+        raise ValueError(f"unknown sparse format {format!r}; choose 'ell' or 'bsr'")
+    return from_scipy(csr, dtype=dtype)
 
 
 def matvec(op: GraphOperator, x: jnp.ndarray) -> jnp.ndarray:
     """A @ X for X of shape (n, d). The hot op of every model RHS."""
     if isinstance(op, DenseGraph):
         return jnp.matmul(op.mat, x, preferred_element_type=x.dtype)
+    if isinstance(op, BsrGraph):
+        from ndcn_tpu.kernels.bsr_spmm import bsr_spmm
+
+        return bsr_spmm(op.fwd, op.bwd, x)
     gathered = jnp.take(x, op.cols, axis=0)          # (n, k, d)
     return jnp.einsum("nk,nkd->nd", op.vals.astype(x.dtype), gathered)
 
@@ -91,6 +123,19 @@ def to_dense_matrix(op: GraphOperator) -> jnp.ndarray:
     """Materialize the operator as an (n, n) matrix (tests / small graphs)."""
     if isinstance(op, DenseGraph):
         return op.mat
+    if isinstance(op, BsrGraph):
+        m = op.fwd
+        blocks = np.asarray(m.blocks)
+        ids = np.asarray(m.block_ids)
+        cols = np.asarray(m.block_cols)
+        block = blocks.shape[1]
+        nrb, slots = ids.shape
+        full = np.zeros((nrb * block, -(-m.n_cols // block) * block), blocks.dtype)
+        for rb in range(nrb):
+            for s in range(slots):
+                full[rb * block:(rb + 1) * block,
+                     cols[rb, s] * block:(cols[rb, s] + 1) * block] += blocks[ids[rb, s]]
+        return jnp.asarray(full[: m.n_rows, : m.n_cols])
     n = op.n_nodes
     dense = jnp.zeros((n, n), op.vals.dtype)
     rows = jnp.repeat(jnp.arange(n), op.cols.shape[1])

@@ -46,13 +46,14 @@ def test_mutualistic_dense_vs_ell_and_reference_form():
     f_ell = np.asarray(mutualistic_dynamics(op_s, 0.0, jnp.asarray(x)))
     np.testing.assert_allclose(f_dense, f_ell, atol=1e-5)
 
-    # per-edge oracle (the definition, mutualistic_dynamics.py:202)
+    # per-edge oracle in the reference's operative (d=1 path) convention:
+    # denominator d + e*x_j + h*x_i (see dynamics/rhs.py docstring)
     b, k, c, d5, e, h = 0.1, 5.0, 1.0, 5.0, 0.9, 0.1
     f_ref = b + x * (1 - x / k) * (x / c - 1)
     for i in range(25):
         for j in range(25):
             if a[i, j]:
-                f_ref[i] += a[i, j] * (x[i] * x[j]) / (d5 + e * x[i] + h * x[j])
+                f_ref[i] += a[i, j] * (x[i] * x[j]) / (d5 + e * x[j] + h * x[i])
     np.testing.assert_allclose(f_dense, f_ref, atol=1e-4)
 
 

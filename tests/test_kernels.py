@@ -1,0 +1,75 @@
+"""Pallas kernel tests (interpret mode on CPU; the real TPU path is exercised by
+bench.py and the TPU smoke runs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ndcn_tpu.graph.sparse import as_operator, matvec, to_dense_matrix
+from ndcn_tpu.kernels import bsr_spmm, bsr_spmm_raw, from_scipy_bsr, fused_graph_rhs
+
+
+def _rand_sparse(n, density=0.02, seed=0):
+    rng = np.random.RandomState(seed)
+    return sp.random(n, n, density=density, random_state=rng, format="csr"), rng
+
+
+def test_bsr_spmm_forward():
+    a, rng = _rand_sparse(500)
+    x = rng.rand(500, 70).astype(np.float32)
+    y = bsr_spmm_raw(from_scipy_bsr(a), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), a @ x, atol=1e-4)
+
+
+def test_bsr_spmm_gradient():
+    a, rng = _rand_sparse(300, density=0.05, seed=1)
+    x = rng.rand(300, 40).astype(np.float32)
+    A, At = from_scipy_bsr(a), from_scipy_bsr(a.T.tocsr())
+
+    g = jax.grad(lambda xx: jnp.sum(bsr_spmm(A, At, xx) ** 2))(jnp.asarray(x))
+    g_ref = 2 * (a.T @ (a @ x))
+    np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_bsr_operator_roundtrip():
+    a, rng = _rand_sparse(200, density=0.05, seed=2)
+    op = as_operator(a, sparse=True, format="bsr")
+    x = rng.rand(200, 16).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(matvec(op, jnp.asarray(x))), a @ x,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(to_dense_matrix(op)),
+                               np.asarray(a.todense()), atol=1e-6)
+
+
+def test_bsr_rectangular_tail():
+    """Node counts not divisible by the 128 block must round-trip exactly."""
+    a, rng = _rand_sparse(257, density=0.05, seed=3)
+    x = rng.rand(257, 5).astype(np.float32)
+    y = bsr_spmm_raw(from_scipy_bsr(a), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), a @ x, atol=1e-4)
+
+
+def test_fused_graph_rhs():
+    rng = np.random.RandomState(0)
+    a = rng.rand(400, 400).astype(np.float32)
+    h = rng.rand(400, 20).astype(np.float32)
+    w = rng.randn(20, 20).astype(np.float32)
+    b = rng.randn(20).astype(np.float32)
+    y = fused_graph_rhs(jnp.asarray(a), jnp.asarray(h), jnp.asarray(w),
+                        jnp.asarray(b))
+    ref = np.maximum((a @ h) @ w + b, 0)
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+
+
+def test_fused_graph_rhs_unaligned():
+    rng = np.random.RandomState(1)
+    n, k = 275, 13
+    a = rng.rand(n, n).astype(np.float32)
+    h = rng.rand(n, k).astype(np.float32)
+    w = rng.randn(k, k).astype(np.float32)
+    b = rng.randn(k).astype(np.float32)
+    y = fused_graph_rhs(jnp.asarray(a), jnp.asarray(h), jnp.asarray(w),
+                        jnp.asarray(b))
+    ref = np.maximum((a @ h) @ w + b, 0)
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)

@@ -1,0 +1,87 @@
+"""Numerical parity vs the PyTorch reference solver stack.
+
+Fixtures under tests/fixtures/ were generated once by tools/make_parity_fixtures.py
+running the reference's vendored torchdiffeq as an oracle (trajectories only; no
+code). Target: ≤1e-4 relative-L1 deviation (BASELINE.md north star).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ndcn_tpu.dynamics import make_rhs
+from ndcn_tpu.graph import operators
+from ndcn_tpu.graph.sparse import from_dense
+from ndcn_tpu.ode import odeint
+
+FIX = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def load(name):
+    return dict(np.load(os.path.join(FIX, name + ".npz")))
+
+
+def rel_l1(a, b):
+    return float(np.abs(a - b).mean() / (np.abs(b).mean() + 1e-12))
+
+
+def test_linear2d_dopri5_parity():
+    f = load("linear2d_dopri5")
+    a = jnp.asarray(f["a"])
+    sol = odeint(lambda t, y: y @ a.T, jnp.asarray(f["y0"]), jnp.asarray(f["t"]),
+                 rtol=1e-7, atol=1e-9, method="dopri5")
+    assert rel_l1(np.asarray(sol), f["sol"]) < 1e-4
+
+
+@pytest.mark.parametrize("method", ["euler", "midpoint", "rk4", "fixed_adams",
+                                    "explicit_adams"])
+def test_fixed_grid_parity(method):
+    f = load(f"decay_{method}")
+    opts = {"max_order": 5} if method == "explicit_adams" else None
+    sol = odeint(lambda t, y: -y, jnp.asarray(f["y0"]), jnp.asarray(f["t"]),
+                 method=method, options=opts)
+    assert rel_l1(np.asarray(sol), f["sol"]) < 1e-4
+
+
+def test_heat_grid400_parity():
+    f = load("heat_grid400_dopri5")
+    from ndcn_tpu.graph import generators
+    adj = generators.build_network("grid", 400, seed=0)
+    op = from_dense(operators.laplacian_dense(adj))
+    sol = odeint(make_rhs("heat", op), jnp.asarray(f["x0"]), jnp.asarray(f["t"]),
+                 rtol=1e-7, atol=1e-9, method="dopri5",
+                 options={"differentiable": False})
+    assert rel_l1(np.asarray(sol), f["sol"]) < 1e-4
+
+
+@pytest.mark.parametrize("name", ["gene", "mutualistic"])
+def test_physics_parity(name):
+    f = load(f"{name}_random60_dopri5")
+    op = from_dense(f["adj"])
+    sol = odeint(make_rhs(name, op), jnp.asarray(f["x0"]), jnp.asarray(f["t"]),
+                 rtol=1e-7, atol=1e-9, method="dopri5",
+                 options={"differentiable": False})
+    assert rel_l1(np.asarray(sol), f["sol"]) < 1e-4
+
+
+def test_ndcn_forward_parity():
+    """Full flagship forward with the reference's torch-initialized weights."""
+    from ndcn_tpu.graph import generators
+    from ndcn_tpu.models import ndcn_forward
+
+    f = load("ndcn_forward_grid400")
+    adj = generators.build_network("grid", 400, seed=0)
+    op = from_dense(operators.normalized_laplacian(adj))
+    params = {
+        "enc1": {"w": jnp.asarray(f["enc1_w"].T), "b": jnp.asarray(f["enc1_b"])},
+        "enc2": {"w": jnp.asarray(f["enc2_w"].T), "b": jnp.asarray(f["enc2_b"])},
+        "wt": {"w": jnp.asarray(f["wt_w"].T), "b": jnp.asarray(f["wt_b"])},
+        "dec": {"w": jnp.asarray(f["dec_w"].T), "b": jnp.asarray(f["dec_b"])},
+    }
+    out, stats = ndcn_forward(params, op, jnp.asarray(f["t"]), jnp.asarray(f["x0"]),
+                              rtol=0.01, atol=0.001, method="dopri5", max_steps=64)
+    assert bool(stats.success)
+    assert rel_l1(np.asarray(out), f["out"]) < 1e-4
