@@ -91,6 +91,28 @@ def build_network(kind: str, n: int, seed: int = 0,
     return np.asarray(nx.to_numpy_array(g), dtype=np.float32)
 
 
+def girvan_newman_labels(adj: np.ndarray, n_splits: int = 10) -> np.ndarray:
+    """Community labels via Girvan-Newman edge-betweenness splitting
+    (reference utils.py:26-48, a side-experiment used to relabel citation graphs).
+
+    Takes ``n_splits`` steps of the divisive hierarchy and labels each node by
+    its community index (1-based, like the reference)."""
+    g = nx.from_numpy_array(np.asarray(adj))
+    gen = nx.algorithms.community.girvan_newman(g)
+    communities = None
+    for _ in range(n_splits):
+        try:
+            communities = next(gen)
+        except StopIteration:
+            break
+    labels = np.zeros(g.number_of_nodes(), dtype=np.int32)
+    if communities is not None:
+        for i, block in enumerate(communities, start=1):
+            for node in block:
+                labels[node] = i
+    return labels
+
+
 def grid_block_initial_value(side: int) -> np.ndarray:
     """The three-hot-block initial condition of the dynamics scripts
     (heat_dynamics.py:178-183): 25/20/17-valued rectangles on the side×side grid.

@@ -1,0 +1,89 @@
+"""Breadth smokes: equal sampling, discrete baselines, sweeps, legacy entries."""
+
+import os
+
+import numpy as np
+
+DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "data")
+
+
+def _dyn_args(extra):
+    from ndcn_tpu.experiments.dynamics import build_parser
+    base = ["--n", "64", "--time_tick", "10", "--niters", "8", "--test_freq", "8",
+            "--platform", "cpu", "--method", "euler", "--seed", "0"]
+    return build_parser("t").parse_args(base + extra)
+
+
+def test_equal_sampling_heat():
+    from ndcn_tpu.experiments.dynamics import run
+    out = run("heat", _dyn_args(["--sampled_time", "equal"]))
+    assert np.isfinite(out["final"]["abs_error"])
+    assert out["final"]["abs_error2"] == 0.0  # no interpolation split
+
+
+def test_lstm_gnn_baseline_end_to_end():
+    from ndcn_tpu.experiments.dynamics import run
+    out = run("heat", _dyn_args(["--baseline", "lstm_gnn", "--sampled_time",
+                                 "equal"]))
+    assert np.isfinite(out["final"]["abs_error"])
+
+
+def test_gru_gnn_baseline_irregular():
+    from ndcn_tpu.experiments.dynamics import run
+    out = run("gene", _dyn_args(["--baseline", "gru_gnn"]))
+    assert np.isfinite(out["final"]["abs_error"])
+
+
+def test_sparse_ell_dynamics_path():
+    from ndcn_tpu.experiments.dynamics import run
+    out = run("heat", _dyn_args(["--sparse"]))
+    assert np.isfinite(out["final"]["abs_error"])
+
+
+def test_ablation_baselines():
+    from ndcn_tpu.experiments.dynamics import run
+    for baseline in ["no_embed", "no_control", "no_graph"]:
+        out = run("heat", _dyn_args(["--baseline", baseline]))
+        assert np.isfinite(out["final"]["abs_error"])
+
+
+def test_legacy_train_gcn_rejects_continuous_models():
+    import pytest
+
+    from ndcn_tpu.experiments.train_gcn import main
+    with pytest.raises(SystemExit):
+        main(["--model", "differential_gcn"])
+
+
+def test_adams_training_raises_clear_error():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from ndcn_tpu.graph.sparse import from_dense
+    from ndcn_tpu.models import init_ndcn, ndcn_forward
+
+    op = from_dense(np.eye(4, dtype=np.float32))
+    params = init_ndcn(jax.random.PRNGKey(0), 1, 4, 1)
+    with pytest.raises(ValueError, match="adams"):
+        ndcn_forward(params, op, jnp.linspace(0, 1, 3), jnp.ones((4, 1)),
+                     method="adams")
+
+
+def test_girvan_newman_labels():
+    from ndcn_tpu.graph.generators import build_network, girvan_newman_labels
+    labels = girvan_newman_labels(build_network("community", 40, seed=0),
+                                  n_splits=2)
+    assert labels.shape == (40,)
+    assert labels.min() >= 1
+    assert len(np.unique(labels)) >= 2
+
+
+def test_notify_sink():
+    from ndcn_tpu.report.notify import send_notification, set_notification_sink
+    got = []
+    set_notification_sink(got.append)
+    send_notification("hello")
+    set_notification_sink(print)  # restore
+    assert got == ["hello"]
