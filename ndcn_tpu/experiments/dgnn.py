@@ -175,7 +175,9 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     opt = torch_adam(args.lr, args.weight_decay)
     opt_state = opt.init(params)
 
-    @jax.jit
+    from functools import partial as _partial
+
+    @_partial(jax.jit, donate_argnums=(0, 1))
     def train_step(p, s, rng):
         def loss_fn(q):
             logits = apply(q, rng, deterministic=False)

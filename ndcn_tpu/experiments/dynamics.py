@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import time
+from functools import partial
 from typing import Any, Dict
 
 import numpy as np
@@ -166,8 +167,11 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
             return jnp.squeeze(out, -1).T, stats    # (n, T)
 
         def train_loss(p, rng):
-            pred, _ = forward(p, t_train, true_y0, rng)
+            pred, stats = forward(p, t_train, true_y0, rng)
             loss = l1_loss(pred, true_y_train)
+            if stats is not None:
+                # a blown step budget must be loud (NaN), not silently wrong
+                loss = jnp.where(stats.success, loss, jnp.nan)
             return loss, loss / jnp.mean(true_y_train)
     else:
         params = init_temporal_gcn(key, 1, hidden_size_gnn, n, hidden_size_rnn,
@@ -194,7 +198,7 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
     opt_state = opt.init(params)
     params, opt_state, start_iter = restore_or_init(args.ckpt_dir, params, opt_state)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(p, s, rng):
         (loss, rel), grads = jax.value_and_grad(
             lambda q: train_loss(q, rng), has_aux=True)(p)
