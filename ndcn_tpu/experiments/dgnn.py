@@ -57,8 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alpha", type=float, default=0.5)
     p.add_argument("--sparse", action="store_true",
                    help="ELL sparse operator (auto for > 8192 nodes)")
-    p.add_argument("--max_steps", type=int, default=64,
-                   help="adaptive step budget for the differentiable solve")
+    p.add_argument("--max_steps", type=int, default=0,
+                   help="adaptive step budget for the differentiable solve "
+                        "(0 = auto-size from a probe solve at init)")
     p.add_argument("--data_dir", type=str, default="data")
     from ndcn_tpu.utils.platform import add_platform_flag
     add_platform_flag(p)
@@ -109,66 +110,80 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
 
         def apply(p, rng, deterministic):
             return gcn_zoo.gcn_apply(p, op, features, args.dropout, rng,
-                                     deterministic)
+                                     deterministic), None
     elif model_name == "DeepGCN":
         params = gcn_zoo.init_deep_gcn(init_key, in_dim, args.hidden, num_classes, nhl)
 
         def apply(p, rng, deterministic):
             return gcn_zoo.deep_gcn_apply(p, op, features, args.dropout, rng,
-                                          deterministic)
+                                          deterministic), None
     elif model_name == "DeepGCN2":
         params = gcn_zoo.init_deep_gcn2(init_key, in_dim, args.hidden, num_classes)
 
         def apply(p, rng, deterministic):
             return gcn_zoo.deep_gcn2_apply(p, op, features, args.dropout, rng,
-                                           deterministic)
+                                           deterministic), None
     elif model_name == "DeepGCN3":
         params = gcn_zoo.init_deep_gcn3(init_key, in_dim, args.hidden, num_classes, n)
 
         def apply(p, rng, deterministic):
             return gcn_zoo.deep_gcn3_apply(p, op, features, nhl, args.dropout, rng,
-                                           deterministic)
+                                           deterministic), None
     elif model_name == "DeepGCN4":
         params = gcn_zoo.init_deep_gcn4(init_key, in_dim, args.hidden, num_classes, nhl)
 
         def apply(p, rng, deterministic):
             return gcn_zoo.deep_gcn4_apply(p, op, features, args.dropout, rng,
-                                           deterministic)
+                                           deterministic), None
     elif model_name == "resGCN":
         params = gcn_zoo.init_res_gcn(init_key, in_dim, args.hidden, num_classes,
                                       n_blocks=nhl, euler=args.Euler)
 
         def apply(p, rng, deterministic):
             return gcn_zoo.res_gcn_apply(p, op, features, args.dropout, rng,
-                                         deterministic, normalize=args.normalize)
-    elif model_name == "odeGCN":
-        # The reference's odeGCN wiring cannot run (ODEBlock.forward takes (vt, x)
-        # but sits in nn.Sequential, dgnn.py:143-160); this implements the evident
-        # intent: encoder → ODE(relu(dropout(A h))) over linspace(0,1.9,10),
-        # terminal state → decoder (cf. the commented block ode_gcn.py:85-109).
-        params = init_ndcn(init_key, in_dim, args.hidden, num_classes,
-                           no_control=True, encoder_layers=2)
-        vt_ode = jnp.asarray(np.linspace(0, 1.9, 10), jnp.float32)
+                                         deterministic, normalize=args.normalize), None
+    elif model_name in ("odeGCN", "differential_gcn"):
+        if model_name == "odeGCN":
+            # The reference's odeGCN wiring cannot run (ODEBlock.forward takes
+            # (vt, x) but sits in nn.Sequential, dgnn.py:143-160); this implements
+            # the evident intent: encoder → ODE(relu(dropout(A h))) over
+            # linspace(0,1.9,10), terminal state → decoder (ode_gcn.py:85-109).
+            params = init_ndcn(init_key, in_dim, args.hidden, num_classes,
+                               no_control=True, encoder_layers=2)
+            vt_model = jnp.asarray(np.linspace(0, 1.9, 10), jnp.float32)
+            no_control = True
+        else:
+            print("T : {}, time tick: {}".format(args.T, args.time_tick))
+            params = init_ndcn(init_key, in_dim, args.hidden, num_classes,
+                               no_control=args.no_control, encoder_layers=1)
+            vt_model = vt
+            no_control = args.no_control
+
+        max_steps = args.max_steps
+        if max_steps <= 0 and args.method in ("dopri5", "tsit5"):
+            from ndcn_tpu.train.budget import probe_step_budget
+
+            def probe():
+                _, stats = ndcn_forward(
+                    params, op, vt_model, features, rtol=args.rtol,
+                    atol=args.atol, method=args.method, terminal=True,
+                    no_control=no_control, max_steps=1 << 14, adjoint=False,
+                    nondiff=True)
+                return stats
+
+            max_steps = probe_step_budget(probe)
+            print(f"auto step budget: max_steps={max_steps}")
+        elif max_steps <= 0:
+            max_steps = 64
 
         def apply(p, rng, deterministic):
-            out, _ = ndcn_forward(
-                p, op, vt_ode, features, rtol=args.rtol, atol=args.atol,
-                method=args.method, terminal=True, no_control=True,
+            out, stats = ndcn_forward(
+                p, op, vt_model, features, rtol=args.rtol, atol=args.atol,
+                method=args.method, terminal=True, no_control=no_control,
                 dropout=0.0 if deterministic else args.dropout, rng=rng,
-                max_steps=args.max_steps)
-            return out
-    elif model_name == "differential_gcn":
-        print("T : {}, time tick: {}".format(args.T, args.time_tick))
-        params = init_ndcn(init_key, in_dim, args.hidden, num_classes,
-                           no_control=args.no_control, encoder_layers=1)
-
-        def apply(p, rng, deterministic):
-            out, _ = ndcn_forward(
-                p, op, vt, features, rtol=args.rtol, atol=args.atol,
-                method=args.method, terminal=True, no_control=args.no_control,
-                dropout=0.0 if deterministic else args.dropout, rng=rng,
-                max_steps=args.max_steps)
-            return out
+                max_steps=max_steps)
+            ok = stats.success if stats is not None else None
+            return out, ok
     else:
         raise ValueError(f"unknown model {model_name}")
 
@@ -180,8 +195,11 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     @_partial(jax.jit, donate_argnums=(0, 1))
     def train_step(p, s, rng):
         def loss_fn(q):
-            logits = apply(q, rng, deterministic=False)
-            return cross_entropy(logits[idx_train], labels[idx_train]), logits
+            logits, ok = apply(q, rng, deterministic=False)
+            loss = cross_entropy(logits[idx_train], labels[idx_train])
+            if ok is not None:
+                loss = jnp.where(ok, loss, jnp.nan)  # blown budget must be loud
+            return loss, logits
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
         updates, s = opt.update(grads, s, p)
@@ -190,7 +208,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
 
     @jax.jit
     def eval_logits(p):
-        return apply(p, None, deterministic=True)
+        return apply(p, None, deterministic=True)[0]
 
     def metrics(logits, idx):
         return (float(cross_entropy(logits[idx], labels[idx])),

@@ -57,8 +57,9 @@ def build_parser(name: str) -> argparse.ArgumentParser:
                             "lstm_gnn", "rnn_gnn", "gru_gnn"])
     p.add_argument("--dump", action="store_true")
     p.add_argument("--adjoint", action="store_true")
-    p.add_argument("--max_steps", type=int, default=256,
-                   help="adaptive step budget for the differentiable solve")
+    p.add_argument("--max_steps", type=int, default=0,
+                   help="adaptive step budget for the differentiable solve "
+                        "(0 = auto-size from a probe solve at init)")
     p.add_argument("--results_dir", type=str, default=None)
     p.add_argument("--ckpt_dir", type=str, default=None,
                    help="enable periodic checkpoint/resume in this directory")
@@ -159,11 +160,27 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
         params = init_ndcn(key, 1, args.hidden, 1, no_embed=flags["no_embed"],
                            no_control=flags["no_control"])
 
+        max_steps = args.max_steps
+        if max_steps <= 0 and args.method in ("dopri5", "tsit5"):
+            from ndcn_tpu.train.budget import probe_step_budget
+
+            def probe():
+                _, stats = ndcn_forward(
+                    params, op, jnp.asarray(t_np), true_y0,
+                    rtol=args.rtol, atol=args.atol, method=args.method,
+                    max_steps=1 << 14, nondiff=True, **flags)
+                return stats
+
+            max_steps = probe_step_budget(probe)
+            print(f"auto step budget: max_steps={max_steps}")
+        elif max_steps <= 0:
+            max_steps = 256
+
         def forward(p, vt, y0, rng=None):
             out, stats = ndcn_forward(
                 p, op, vt, y0, rtol=args.rtol, atol=args.atol, method=args.method,
                 dropout=args.dropout, rng=rng, adjoint=args.adjoint,
-                max_steps=args.max_steps, **flags)
+                max_steps=max_steps, **flags)
             return jnp.squeeze(out, -1).T, stats    # (n, T)
 
         def train_loss(p, rng):

@@ -44,7 +44,7 @@ def ode_func(params: Dict[str, Any], op: GraphOperator, t, h,
 
 def ode_block(func, h0, vt, rtol: float, atol: float, method: str,
               terminal: bool = False, adjoint: bool = False,
-              params=None, max_steps: int = 256):
+              params=None, max_steps: int = 256, nondiff: bool = False):
     """odeint wrapper mirroring ODEBlock semantics; returns (out, stats).
 
     With ``adjoint=True`` gradients use the continuous adjoint (O(1) memory);
@@ -66,7 +66,8 @@ def ode_block(func, h0, vt, rtol: float, atol: float, method: str,
         sol, stats = odeint_with_stats(func if params is None
                                        else (lambda t, h: func(params, t, h)),
                                        h0, vt, rtol=rtol, atol=atol, method=method,
-                                       options={"max_steps": max_steps})
+                                       options={"max_steps": max_steps,
+                                                "differentiable": not nondiff})
     return (jax.tree_util.tree_map(lambda b: b[-1], sol) if terminal else sol), stats
 
 
@@ -94,7 +95,7 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
                  no_embed: bool = False, no_graph: bool = False,
                  no_control: bool = False, dropout: float = 0.0,
                  rng: Optional[jax.Array] = None, adjoint: bool = False,
-                 max_steps: int = 256):
+                 max_steps: int = 256, nondiff: bool = False):
     """Full NDCN forward. Returns (output, stats).
 
     output: (T, n, num_classes) trajectory, or (n, num_classes) if terminal.
@@ -115,6 +116,7 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
 
     ode_params = {k: params[k] for k in ("wt",) if k in params}
     hvx, stats = ode_block(func, h, vt, rtol, atol, method, terminal=terminal,
-                           adjoint=adjoint, params=ode_params, max_steps=max_steps)
+                           adjoint=adjoint, params=ode_params, max_steps=max_steps,
+                           nondiff=nondiff)
     out = nn.linear_apply(params["dec"], hvx)
     return out, stats
