@@ -39,6 +39,8 @@ def run(args: argparse.Namespace):
     from ndcn_tpu.utils.platform import force_platform, set_matmul_precision
     force_platform(args.platform)
     set_matmul_precision(args.precision)
+    from ndcn_tpu.utils.platform import enable_compile_cache
+    enable_compile_cache()
 
     import jax
     import jax.numpy as jnp

@@ -21,6 +21,21 @@ def force_platform(platform: str) -> None:
     jax.config.update("jax_platforms", platform)
 
 
+def enable_compile_cache(path: str = "/tmp/ndcn_jax_cache") -> None:
+    """Persistent XLA compilation cache — compiles of grad-of-scan graphs take
+    minutes through the axon TPU tunnel; cache them across processes."""
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
+
+
 def set_matmul_precision(precision: str) -> None:
     """TPU MXU precision: 'default' truncates f32 matmul inputs to bf16 (fast);
     'highest' keeps full f32 (use for numerical-parity runs)."""
