@@ -167,11 +167,13 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
 
         max_steps = args.max_steps
         if max_steps <= 0 and args.method in ("dopri5", "tsit5"):
-            from ndcn_tpu.train.budget import probe_step_budget
+            from ndcn_tpu.train.budget import probe_step_budget, to_cpu
+
+            params_c, op_c, feats_c, vt_c = to_cpu((params, op, features, vt_model))
 
             def probe():
                 _, stats = ndcn_forward(
-                    params, op, vt_model, features, rtol=args.rtol,
+                    params_c, op_c, vt_c, feats_c, rtol=args.rtol,
                     atol=args.atol, method=args.method, terminal=True,
                     no_control=no_control, max_steps=1 << 14, adjoint=False,
                     nondiff=True)

@@ -164,11 +164,14 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
 
         max_steps = args.max_steps
         if max_steps <= 0 and args.method in ("dopri5", "tsit5"):
-            from ndcn_tpu.train.budget import probe_step_budget
+            from ndcn_tpu.train.budget import probe_step_budget, to_cpu
+
+            params_c, op_c, t_c, y0_c = to_cpu(
+                (params, op, jnp.asarray(t_np), true_y0))
 
             def probe():
                 _, stats = ndcn_forward(
-                    params, op, jnp.asarray(t_np), true_y0,
+                    params_c, op_c, t_c, y0_c,
                     rtol=args.rtol, atol=args.atol, method=args.method,
                     max_steps=1 << 14, nondiff=True, **flags)
                 return stats

@@ -16,11 +16,20 @@ from typing import Callable
 import jax
 
 
+def to_cpu(tree):
+    """Copy a pytree to the CPU backend (jax.default_device only steers
+    *uncommitted* data — arrays already living on the TPU must be moved
+    explicitly, or the probe compiles on the TPU after all)."""
+    cpu = jax.devices("cpu")[0]
+    return jax.tree_util.tree_map(lambda l: jax.device_put(l, cpu), tree)
+
+
 def probe_step_budget(solve_nondiff: Callable[[], "object"],
                       floor: int = 16, headroom: float = 4.0,
                       slack: int = 8) -> int:
     """Run ``solve_nondiff`` (returning SolveStats) on CPU; size the scan budget.
 
+    ``solve_nondiff`` must close over CPU-resident inputs (see ``to_cpu``).
     budget = clip(headroom * attempts + slack, floor, ∞), rounded up to 8.
     """
     cpu = jax.devices("cpu")[0]
