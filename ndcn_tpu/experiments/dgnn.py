@@ -56,7 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                             "tsit5", "euler", "midpoint", "rk4"])
     p.add_argument("--alpha", type=float, default=0.5)
     p.add_argument("--sparse", action="store_true",
-                   help="ELL sparse operator (auto for > 8192 nodes)")
+                   help="sparse operator (auto for > 8192 nodes)")
+    p.add_argument("--sparse_format", type=str, default="bsr",
+                   choices=["ell", "bsr"],
+                   help="sparse layout: gather-ELL or the Pallas BSR kernel")
     p.add_argument("--max_steps", type=int, default=0,
                    help="adaptive step budget for the differentiable solve "
                         "(0 = auto-size from a probe solve at init)")
@@ -95,7 +98,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     n, in_dim = data.features.shape
     num_classes = int(data.labels.max()) + 1
     use_sparse = args.sparse or n > 8192
-    op = as_operator(data.operator, sparse=use_sparse)
+    op = as_operator(data.operator, sparse=use_sparse, format=args.sparse_format)
 
     features = jnp.asarray(data.features)
     labels = jnp.asarray(data.labels)

@@ -44,6 +44,10 @@ def build_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--viz", action="store_true")
     p.add_argument("--n", type=int, default=400)
     p.add_argument("--sparse", action="store_true")
+    p.add_argument("--sparse_format", type=str, default="ell",
+                   choices=["ell", "bsr"],
+                   help="sparse layout (mutualistic requires ell: it gathers "
+                        "neighbor states, which BSR blocks do not expose)")
     p.add_argument("--network", type=str, default="grid",
                    choices=["grid", "random", "power_law", "small_world", "community"])
     p.add_argument("--layout", type=str, default="community",
@@ -112,13 +116,14 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
     if args.baseline in ("lstm_gnn", "rnn_gnn", "gru_gnn"):
         # temporal baselines always use the Kipf operator (heat_dynamics.py:169-173)
         om_np = operators.zipf_smoothing(adj)
-    op = as_operator(om_np, sparse=args.sparse)
+    op = as_operator(om_np, sparse=args.sparse, format=args.sparse_format)
 
     # ------------------------------------------------------ physics operator
     # heat diffusion integrates over L = D - A (the RHS owns the minus sign);
     # mutualistic/gene couple through the raw adjacency.
     physics_matrix = operators.laplacian_dense(adj) if dynamics_kind == "heat" else adj
-    physics_op = as_operator(physics_matrix, sparse=args.sparse)
+    physics_fmt = "ell" if dynamics_kind == "mutualistic" else args.sparse_format
+    physics_op = as_operator(physics_matrix, sparse=args.sparse, format=physics_fmt)
 
     # --------------------------------------------------------- ground truth
     # The block initial condition lives on the side×side grid layout; for non-grid

@@ -118,6 +118,32 @@ def run(args: argparse.Namespace):
             final_loss = float(total)
             print("Iter {:04d} | Total Loss {:.6f}".format(itr, final_loss))
 
+    if args.viz:
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            import os
+
+            _, pred = full_eval(params)
+            os.makedirs("figure/lv", exist_ok=True)
+            fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4))
+            ty = np.asarray(true_y)[:, 0]
+            py = np.asarray(pred)[:, 0]
+            ax1.plot(ty[:, 0], ty[:, 1], "g-", label="true")
+            ax1.plot(py[:, 0], py[:, 1], "b--", label="learned")
+            ax1.set_title("phase portrait")
+            ax1.legend()
+            tn = np.asarray(t)
+            ax2.plot(tn, ty[:, 0], "g-", tn, ty[:, 1], "g-")
+            ax2.plot(tn, py[:, 0], "b--", tn, py[:, 1], "b--")
+            ax2.set_title("trajectories")
+            fig.savefig("figure/lv/phase_portrait.png", transparent=True)
+            plt.close(fig)
+            print("wrote figure/lv/phase_portrait.png")
+        except Exception as e:
+            print(f"[viz] skipped: {e}")
+
     print("Total Time {:.4f}".format(time.time() - t_start))
     return {"final_loss": final_loss, "params": params}
 

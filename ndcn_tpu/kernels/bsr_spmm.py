@@ -30,13 +30,29 @@ import scipy.sparse as sp
 BLOCK = 128
 
 
-class BsrMatrix(NamedTuple):
-    """ELL-of-blocks packing of a sparse matrix (see from_scipy_bsr)."""
-    blocks: jnp.ndarray       # (n_blocks_stored, B, B) f32; index 0 is all-zero
-    block_ids: jnp.ndarray    # (n_row_blocks, max_slots) i32 into blocks
-    block_cols: jnp.ndarray   # (n_row_blocks, max_slots) i32 column-block index
-    n_rows: int               # un-padded logical row count
-    n_cols: int
+@jax.tree_util.register_pytree_node_class
+class BsrMatrix:
+    """ELL-of-blocks packing of a sparse matrix (see from_scipy_bsr).
+
+    blocks (n_blocks_stored, B, B) with index 0 all-zero; block_ids / block_cols
+    (n_row_blocks, max_slots). The logical (un-padded) shape is static pytree aux
+    data so it survives jit/scan without being traced.
+    """
+
+    def __init__(self, blocks, block_ids, block_cols, n_rows: int, n_cols: int):
+        self.blocks = blocks
+        self.block_ids = block_ids
+        self.block_cols = block_cols
+        self.n_rows = int(n_rows)
+        self.n_cols = int(n_cols)
+
+    def tree_flatten(self):
+        return (self.blocks, self.block_ids, self.block_cols), (self.n_rows,
+                                                                self.n_cols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
 
 
 def from_scipy_bsr(mat: sp.spmatrix, block: int = BLOCK) -> BsrMatrix:
