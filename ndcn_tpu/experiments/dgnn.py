@@ -225,6 +225,18 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         return (float(cross_entropy(logits[idx], labels[idx])),
                 float(accuracy(logits[idx], labels[idx])))
 
+    @jax.jit
+    def epoch_stats(logits, loss_train):
+        """All per-epoch scalars in one device array → one host sync per epoch
+        (each float() costs a ~30 ms round trip through the TPU tunnel)."""
+        return jnp.stack([
+            loss_train,
+            cross_entropy(logits[idx_train], labels[idx_train]),
+            accuracy(logits[idx_train], labels[idx_train]),
+            cross_entropy(logits[idx_val], labels[idx_val]),
+            accuracy(logits[idx_val], labels[idx_val]),
+        ])
+
     # --------------------------------------------- batched independent repeats
     if args.batch_iters:
         # TPU-native sweep: args.iter INDEPENDENT models train simultaneously —
@@ -330,14 +342,13 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                 logits = train_logits
             else:
                 logits = eval_logits(params)
-            loss_tr, acc_tr = metrics(logits, idx_train)
-            loss_val, acc_val = metrics(logits, idx_val)
+            st = np.asarray(epoch_stats(logits, loss_train))
             print("ITER: {:04d}".format(it + 1),
                   "Epoch: {:04d}".format(epoch + 1),
-                  "loss_train: {:.4f}".format(float(loss_train)),
-                  "acc_train: {:.4f}".format(acc_tr),
-                  "loss_val: {:.4f}".format(loss_val),
-                  "acc_val: {:.4f}".format(acc_val),
+                  "loss_train: {:.4f}".format(st[0]),
+                  "acc_train: {:.4f}".format(st[2]),
+                  "loss_val: {:.4f}".format(st[3]),
+                  "acc_val: {:.4f}".format(st[4]),
                   "time: {:.4f}s".format(time.time() - t_epoch))
         print("Optimization Finished!")
         t_total = time.time() - t_start
