@@ -68,6 +68,8 @@ def build_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--ckpt_dir", type=str, default=None,
                    help="enable periodic checkpoint/resume in this directory")
     p.add_argument("--ckpt_freq", type=int, default=200)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of training iterations here")
     from ndcn_tpu.utils.platform import add_platform_flag
     add_platform_flag(p)
     return p
@@ -268,9 +270,22 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
     results["true_y"].append(np.asarray(true_y))
     results["nfe_train"] = []
 
+    from ndcn_tpu.utils.timing import profile_trace
+
     rng = jax.random.PRNGKey(args.seed + 1)
     loss = rel = jnp.asarray(0.0)
+    profiled = False
     for itr in range(start_iter + 1, args.niters + 1):
+        if args.profile_dir and not profiled and itr > 2:
+            # trace a handful of steady-state iterations (skip compiles)
+            with profile_trace(args.profile_dir):
+                for _ in range(3):
+                    rng, step_rng = jax.random.split(rng)
+                    params, opt_state, loss, rel = train_step(params, opt_state,
+                                                              step_rng)
+                jax.block_until_ready(loss)
+            profiled = True
+            print(f"[profile] trace written to {args.profile_dir}")
         rng, step_rng = jax.random.split(rng)
         params, opt_state, loss, rel = train_step(params, opt_state, step_rng)
 

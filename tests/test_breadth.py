@@ -87,3 +87,26 @@ def test_notify_sink():
     send_notification("hello")
     set_notification_sink(print)  # restore
     assert got == ["hello"]
+
+
+def test_differential_gcn_with_dropout_smoke():
+    """dgnn default dropout=0.5 path: fixed mask per epoch, finite losses."""
+    from ndcn_tpu.experiments.dgnn import build_parser, run
+    args, _ = build_parser().parse_known_args(
+        ["--model", "differential_gcn", "--epochs", "3", "--hidden", "8",
+         "--T", "1.0", "--time_tick", "3", "--dropout", "0.5", "--alpha", "0.5",
+         "--seed", "2", "--data_dir", DATA_DIR, "--platform", "cpu",
+         "--max_steps", "16", "--fastmode"])
+    out = run(args)
+    assert np.isfinite(out["rows"][0][1])
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    from ndcn_tpu.experiments.dynamics import build_parser, run
+    d = str(tmp_path / "trace")
+    args = build_parser("t").parse_args(
+        ["--n", "36", "--time_tick", "6", "--niters", "6", "--test_freq", "6",
+         "--platform", "cpu", "--method", "euler", "--profile_dir", d])
+    run("heat", args)
+    import os
+    assert os.path.isdir(d) and len(os.listdir(d)) > 0
