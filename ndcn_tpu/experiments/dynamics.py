@@ -130,20 +130,28 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
     # --------------------------------------------------------- ground truth
     # The block initial condition lives on the side×side grid layout; for non-grid
     # graphs of n != side² nodes, take the first n entries (heat_dynamics.py:177-183).
-    x0 = jnp.asarray(generators.grid_block_initial_value(side)[:n], jnp.float32)
+    x0_np = generators.grid_block_initial_value(side)[:n].astype(np.float32)
 
-    t_full = jnp.asarray(t_np)
-    rhs = make_rhs(dynamics_kind, physics_op)
-    with Timer() as gt_timer:
+    # Data generation runs on the CPU backend: the one-shot while-loop solve
+    # compiles in seconds there, versus minutes through the TPU tunnel — and the
+    # trajectory matches the (CPU) reference bit-for-bit closer.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu), Timer() as gt_timer:
+        physics_cpu = jax.tree_util.tree_map(
+            lambda l: jax.device_put(l, cpu), physics_op)
+        rhs = make_rhs(dynamics_kind, physics_cpu)
         solution, gt_stats = odeint_with_stats(
-            rhs, x0, t_full, rtol=1e-7, atol=1e-9, method="dopri5",
-            options={"differentiable": False})
-        solution = jax.block_until_ready(solution)
+            rhs, jnp.asarray(x0_np), jnp.asarray(t_np), rtol=1e-7, atol=1e-9,
+            method="dopri5", options={"differentiable": False})
+        solution = np.asarray(jax.block_until_ready(solution))
+
+    x0 = jnp.asarray(x0_np)
+    t_full = jnp.asarray(t_np)
     print(f"{tuple(solution.shape)} ground truth: {int(gt_stats.nfe)} RHS evals "
           f"in {gt_timer.elapsed:.3f}s "
           f"({int(gt_stats.nfe) * n / max(gt_timer.elapsed, 1e-9):,.0f} node-evals/s)")
 
-    true_y = jnp.squeeze(solution, -1).T            # (n, T_all)
+    true_y = jnp.asarray(np.squeeze(solution, -1).T)  # (n, T_all)
     true_y0 = x0                                    # (n, 1)
     true_y_train = true_y[:, id_train]
     true_y_test = true_y[:, id_test]
