@@ -70,6 +70,9 @@ def build_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--ckpt_freq", type=int, default=200)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of training iterations here")
+    p.add_argument("--replicas", type=int, default=1,
+                   help="train this many independent replicas simultaneously "
+                        "(vmapped; dumps one results file per replica)")
     from ndcn_tpu.utils.platform import add_platform_flag
     add_platform_flag(p)
     return p
@@ -273,6 +276,77 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
             out["rel2"] = jnp.asarray(0.0)
             out["pred_test2"] = jnp.zeros(())
         return out
+
+    # ------------------------------------------- batched multi-replica training
+    if args.replicas > 1:
+        # TPU-native sweep: R independent models (different init seeds) train
+        # simultaneously in one vmapped program; each replica dumps its own
+        # results file, so experiments.summarize aggregates them exactly like
+        # the reference's repeated sequential runs.
+        if not continuous:
+            raise SystemExit("--replicas currently supports the continuous "
+                             "(ndcn/ablation) baselines")
+        r = args.replicas
+        keys = jax.random.split(key, r)
+        params_b = jax.vmap(lambda k: init_ndcn(
+            k, 1, args.hidden, 1, no_embed=flags["no_embed"],
+            no_control=flags["no_control"]))(keys)
+        opt_state_b = jax.vmap(opt.init)(params_b)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step_b(pb, sb, rngs):
+            def one(p, s, rng):
+                (loss, rel), grads = jax.value_and_grad(
+                    lambda q: train_loss(q, rng), has_aux=True)(p)
+                updates, s = opt.update(grads, s, p)
+                return (jax.tree_util.tree_map(lambda a, u: a + u, p, updates),
+                        s, loss, rel)
+            return jax.vmap(one)(pb, sb, rngs)
+
+        eval_b = jax.jit(jax.vmap(evaluate))
+
+        rng = jax.random.PRNGKey(args.seed + 1)
+        for itr in range(1, args.niters + 1):
+            rng, step_rng = jax.random.split(rng)
+            params_b, opt_state_b, losses, rels = step_b(
+                params_b, opt_state_b, jax.random.split(step_rng, r))
+            if itr % args.test_freq == 0:
+                ev = eval_b(params_b)
+                print(f"Iter {itr:04d}| {r} replicas | train rel "
+                      f"{float(jnp.mean(rels)):.6f}±{float(jnp.std(rels)):.6f} "
+                      f"| test rel {float(jnp.mean(ev['rel'])):.6f}"
+                      f"±{float(jnp.std(ev['rel'])):.6f} "
+                      f"| Time {time.time() - t_start:.4f}", flush=True)
+
+        ev = eval_b(params_b)
+        t_total = time.time() - t_start
+        print("Total Time {:.4f}".format(t_total))
+        if args.dump:
+            results_dir = args.results_dir or f"results/{dynamics_kind}/{args.network}"
+            for i in range(r):
+                res_i = results_lib.new_results_dict(vars(args))
+                p_i = jax.tree_util.tree_map(lambda l: l[i], params_b)
+                results_lib.record_eval(
+                    res_i, args.niters, float(ev["loss"][i]), float(ev["rel"][i]),
+                    ev["pred_test"][i], p_i,
+                    abs_error2=float(ev["loss2"][i]) if id_test2 is not None else None,
+                    rel_error2=float(ev["rel2"][i]) if id_test2 is not None else None,
+                    predict_y2=ev["pred_test2"][i] if id_test2 is not None else None)
+                res_i["total_time"] = t_total / r
+                path = results_lib.results_path(results_dir, args.baseline,
+                                                appendix=f"replica{i:03d}")
+                results_lib.dump_results(res_i, path)
+            print(f"Dumped {r} replica results under {results_dir}")
+        return {
+            "final": {
+                "abs_error": float(jnp.mean(ev["loss"])),
+                "rel_error": float(jnp.mean(ev["rel"])),
+                "rel_error_std": float(jnp.std(ev["rel"])),
+                "abs_error2": float(jnp.mean(ev["loss2"])),
+                "rel_error2": float(jnp.mean(ev["rel2"])),
+            },
+            "replicas": r, "total_time": t_total,
+        }
 
     results = results_lib.new_results_dict(vars(args))
     results["true_y"].append(np.asarray(true_y))
