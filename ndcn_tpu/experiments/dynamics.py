@@ -108,7 +108,10 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
     adj = generators.build_network(args.network, args.n, seed=args.seed,
                                    layout=args.layout)
     n = adj.shape[0]
-    side = int(np.ceil(np.sqrt(args.n)))
+    # side derives from the ACTUAL node count: small_world hardcodes 400 nodes
+    # regardless of --n (as in the reference, heat_dynamics.py:98), and the x0
+    # block pattern must cover them all.
+    side = int(np.ceil(np.sqrt(n)))
 
     # ---------------------------------------------------------- time splits
     print(f"Build {args.sampled_time}ly-sampled -time dynamics")
@@ -419,6 +422,7 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
 
     if args.viz:
         from ndcn_tpu.report import viz
+        viz.adjacency_heatmap(adj, args.network)
         viz.dynamics_surfaces(dynamics_kind, args.network, side, np.asarray(true_y),
                               np.asarray(ev["pred_test"]))
 

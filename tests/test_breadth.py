@@ -110,3 +110,15 @@ def test_profile_dir_writes_trace(tmp_path):
     run("heat", args)
     import os
     assert os.path.isdir(d) and len(os.listdir(d)) > 0
+
+
+import pytest
+
+
+@pytest.mark.parametrize("network", ["grid", "random", "power_law",
+                                     "small_world", "community"])
+def test_gene_all_topologies_smoke(network):
+    """BASELINE config #3: gene dynamics across all five graph topologies."""
+    from ndcn_tpu.experiments.dynamics import run
+    out = run("gene", _dyn_args(["--network", network]))
+    assert np.isfinite(out["final"]["abs_error"])
