@@ -58,8 +58,10 @@ def _read_parts(data_dir: str, name: str):
 def load_planetoid(name: str = "cora", alpha: float = 0.5,
                    data_dir: str = "data") -> Planetoid:
     name = name.lower()
-    if name not in DATASETS:
-        raise ValueError(f"unknown dataset {name!r}; choose from {DATASETS}")
+    if name not in DATASETS and not os.path.isdir(os.path.join(data_dir, name)):
+        raise ValueError(f"unknown dataset {name!r}; choose from {DATASETS} or "
+                         f"provide ind.* files under {data_dir}/{name}/ "
+                         f"(tools/make_synthetic_planetoid.py emits the format)")
     (x, y, tx, ty, allx, ally, graph), test_idx_reorder = _read_parts(data_dir, name)
     test_idx_range = np.sort(test_idx_reorder)
 

@@ -57,9 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alpha", type=float, default=0.5)
     p.add_argument("--sparse", action="store_true",
                    help="sparse operator (auto for > 8192 nodes)")
-    p.add_argument("--sparse_format", type=str, default="bsr",
-                   choices=["ell", "bsr"],
-                   help="sparse layout: gather-ELL or the Pallas BSR kernel")
+    p.add_argument("--sparse_format", type=str, default="coo",
+                   choices=["coo", "ell", "bsr"],
+                   help="sparse layout: segment-sum COO (scalable default), "
+                        "gather-ELL, or the Pallas BSR kernel")
     p.add_argument("--max_steps", type=int, default=0,
                    help="adaptive step budget for the differentiable solve "
                         "(0 = auto-size from a probe solve at init)")

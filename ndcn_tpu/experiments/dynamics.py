@@ -45,7 +45,7 @@ def build_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--n", type=int, default=400)
     p.add_argument("--sparse", action="store_true")
     p.add_argument("--sparse_format", type=str, default="ell",
-                   choices=["ell", "bsr"],
+                   choices=["coo", "ell", "bsr"],
                    help="sparse layout (mutualistic requires ell: it gathers "
                         "neighbor states, which BSR blocks do not expose)")
     p.add_argument("--network", type=str, default="grid",

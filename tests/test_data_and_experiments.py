@@ -106,3 +106,27 @@ def test_checkpoint_retention(tmp_path):
     for step in range(5):
         save_checkpoint(d, step, {"w": jnp.zeros(2)}, keep=2)
     assert sorted(all_checkpoint_steps(d)) == [3, 4]
+
+
+def test_synthetic_planetoid_roundtrip(tmp_path):
+    """The synthetic generator emits loader-compatible ind.* files."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(DATA_DIR)))
+    from tools.make_synthetic_planetoid import make_dataset
+
+    make_dataset("tiny_synth", n=300, n_features=40, n_classes=3,
+                 out_dir=str(tmp_path), seed=0, n_test=50)
+    d = load_planetoid("tiny_synth", alpha=0.5, data_dir=str(tmp_path))
+    assert d.features.shape == (300, 40)
+    assert len(d.idx_test) == 50
+    assert int(d.labels.max()) + 1 == 3
+    assert (d.adjacency != d.adjacency.T).nnz == 0
+
+    # labeled train nodes carry the right labels after the permutation
+    from ndcn_tpu.experiments.dgnn import build_parser, run
+    args, _ = build_parser().parse_known_args(
+        ["--model", "GCN", "--epochs", "30", "--hidden", "16", "--seed", "1",
+         "--dataset", "tiny_synth", "--data_dir", str(tmp_path),
+         "--platform", "cpu", "--fastmode"])
+    out = run(args)
+    assert out["rows"][0][2] > 1.0 / 3  # beats chance => features/labels aligned

@@ -111,8 +111,23 @@ def test_ell_matvec_matches_dense():
 def test_as_operator_switch():
     a = _random_adj(10)
     assert as_operator(a, sparse=False).__class__.__name__ == "DenseGraph"
-    assert as_operator(a, sparse=True).__class__.__name__ == "EllGraph"
-    assert as_operator(sp.csr_matrix(a), sparse=True).__class__.__name__ == "EllGraph"
+    assert as_operator(a, sparse=True).__class__.__name__ == "CooGraph"
+    assert as_operator(a, sparse=True, format="ell").__class__.__name__ == "EllGraph"
+    assert as_operator(sp.csr_matrix(a), sparse=True,
+                       format="bsr").__class__.__name__ == "BsrGraph"
+
+
+def test_coo_matvec_matches_dense():
+    import jax
+    import jax.numpy as jnp
+    a = _random_adj(50)
+    x = np.random.RandomState(3).rand(50, 7).astype(np.float32)
+    op = as_operator(a, sparse=True, format="coo")
+    np.testing.assert_allclose(np.asarray(matvec(op, jnp.asarray(x))), a @ x,
+                               atol=1e-5)
+    g = jax.grad(lambda xx: (matvec(op, xx) ** 2).sum())(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g), 2 * (a.T @ (a @ x)), rtol=1e-4,
+                               atol=1e-4)
 
 
 def test_grid_block_initial_value():
