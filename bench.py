@@ -50,7 +50,7 @@ def setup_problem():
 # -------------------------------------------------------------------- jax side
 
 
-def bench_jax(om, t_train, x0, reps=50):
+def bench_jax(om, t_train, x0, reps=200):
     import jax
     import jax.numpy as jnp
 
@@ -65,25 +65,37 @@ def bench_jax(om, t_train, x0, reps=50):
 
     def loss_fn(p):
         out, stats = ndcn_forward(p, op, vt, x0j, rtol=RTOL, atol=ATOL,
-                                  method="dopri5", max_steps=32)
+                                  method="dopri5", max_steps=12)
         return jnp.mean(jnp.abs(out)), stats.nfe
 
-    @jax.jit
     def train_step(p):
         (loss, nfe), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
         p = jax.tree_util.tree_map(lambda a, g: a - 0.01 * g, p, grads)
         return p, loss, nfe
 
-    p, loss, nfe = jax.block_until_ready(train_step(params))
+    CHUNK = 25
+
+    @jax.jit
+    def train_chunk(p):
+        # one dispatch per CHUNK steps: per-call host->device dispatch latency
+        # (~1-2 ms through the axon tunnel) would otherwise dominate the metric
+        def body(q, _):
+            q, loss, nfe = train_step(q)
+            return q, (loss, nfe)
+        p, (losses, nfes) = jax.lax.scan(body, p, None, length=CHUNK)
+        return p, losses[-1], nfes[-1]
+
+    p, loss, nfe = jax.block_until_ready(train_chunk(params))
     nfe = int(nfe)
     log(f"[jax] nfe/solve={nfe}")
 
+    n_chunks = max(1, reps // CHUNK)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        p, loss, _ = train_step(p)
+    for _ in range(n_chunks):
+        p, loss, _ = train_chunk(p)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
-    return reps / dt, nfe
+    return n_chunks * CHUNK / dt, nfe
 
 
 # ------------------------------------------------------------------ torch side
@@ -104,7 +116,7 @@ _DP_BHAT = [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
             187 / 2100, 1 / 40]
 
 
-def bench_torch(om, t_train, x0, reps=10):
+def bench_torch(om, t_train, x0, reps=20):
     import torch
 
     a = torch.asarray(om)

@@ -20,7 +20,6 @@ the VJP of ``y = A @ x`` is ``Aᵀ @ ḡ``, served by a second packing of Aᵀ.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

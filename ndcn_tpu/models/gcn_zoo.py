@@ -21,7 +21,7 @@ the propagation operator as a pytree (dense or ELL).
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

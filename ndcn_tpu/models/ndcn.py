@@ -50,11 +50,6 @@ def ode_block(func, h0, vt, rtol: float, atol: float, method: str,
     With ``adjoint=True`` gradients use the continuous adjoint (O(1) memory);
     ``params`` must then be the pytree the RHS closes over.
     """
-    if method == "adams" and not adjoint:
-        raise ValueError(
-            "method='adams' (adaptive-order VCABM) uses a while_loop and is not "
-            "reverse-differentiable; train with adjoint=True (continuous adjoint) "
-            "or pick dopri5/tsit5/fixed-grid methods")
     if adjoint:
         if params is None:
             raise ValueError("adjoint=True requires the params pytree")

@@ -114,6 +114,11 @@ def odeint_with_stats(func: Callable, y0, t, rtol: float = 1e-7, atol: float = 1
             max_iters=int(options.get("max_iters", 4)))
 
     # method == "adams": variable-coefficient adaptive-order ABM
+    if bool(options.get("differentiable", True)):
+        return vcabm.solve_vcabm_scan(
+            func, y0, t, rtol=float(rtol), atol=float(atol),
+            max_order=int(options.get("max_order", 12)),
+            max_steps=int(options.get("max_steps", _DEFAULT_MAX_STEPS_SCAN)))
     return vcabm.solve_vcabm(func, y0, t, rtol=float(rtol), atol=float(atol),
                              max_order=int(options.get("max_order", 12)),
                              max_steps=int(options.get("max_steps",

@@ -1,8 +1,13 @@
 """Variable-coefficient Adams-Bashforth-Moulton (adaptive step & order 1-12).
 
-Counterpart of /root/reference/torchdiffeq/_impl/adams.py. Implemented as a single
-``lax.while_loop`` with fixed-size newest-first history buffers and the g / phi
-divided-difference recurrences vectorized over a static max order with masking.
+Counterpart of /root/reference/torchdiffeq/_impl/adams.py, with fixed-size
+newest-first history buffers and the g / phi divided-difference recurrences
+vectorized over a static max order with masking. Two execution strategies share
+one step function (mirroring ode/adaptive.py):
+
+- ``solve_vcabm``: minimal-FLOP ``lax.while_loop`` (inference).
+- ``solve_vcabm_scan``: bounded rematerialized ``lax.scan`` — reverse-mode
+  differentiable, so --method adams trains without the continuous adjoint.
 """
 
 from __future__ import annotations
@@ -68,9 +73,8 @@ def _g_and_explicit_phi(prev_t, next_t, implicit_phi, k_max):
     return g, explicit_phi
 
 
-def solve_vcabm(func, y0, t, rtol: float, atol: float, max_order: int = _MAX_ORDER,
-                max_steps: int = 1 << 16):
-    """Adaptive-order ABM solve on the observation grid (non-differentiable).
+def _make_vcabm_machine(func, y0, t, rtol: float, atol: float, max_order: int):
+    """Shared VCABM stepping machinery: returns (carry0, attempt, T).
 
     Reproduces the reference's control flow, including its predictor-advance quirk:
     on accepted steps the state stored for the next step is the *predictor*
@@ -236,10 +240,40 @@ def solve_vcabm(func, y0, t, rtol: float, atol: float, max_order: int = _MAX_ORD
             nrej=c["nrej"] + (~accept).astype(jnp.int32),
             ok=c["ok"] & ~underflow)
 
+    return carry0, attempt, T
+
+
+def solve_vcabm(func, y0, t, rtol: float, atol: float, max_order: int = _MAX_ORDER,
+                max_steps: int = 1 << 16):
+    """Minimal-FLOP while_loop solve (non-differentiable)."""
+    carry0, attempt, T = _make_vcabm_machine(func, y0, t, rtol, atol, max_order)
+
     def cond(c):
         return (c["obs_i"] < T) & ((c["nacc"] + c["nrej"]) < max_steps) & c["ok"]
 
     final = jax.lax.while_loop(cond, attempt, carry0)
+    stats = SolveStats(nfe=final["nfe"], n_accepted=final["nacc"],
+                       n_rejected=final["nrej"],
+                       success=final["ok"] & (final["obs_i"] >= T))
+    return final["sol"], stats
+
+
+def solve_vcabm_scan(func, y0, t, rtol: float, atol: float,
+                     max_order: int = _MAX_ORDER, max_steps: int = 256):
+    """Reverse-differentiable bounded solve: exactly ``max_steps`` attempts with
+    cond-skipped iterations once all observation times are reached, each step
+    rematerialized in the backward pass (the same strategy as adaptive.solve_scan;
+    gradients flow through the step/order controller like the reference's
+    backprop-through-solver default)."""
+    carry0, attempt, T = _make_vcabm_machine(func, y0, t, rtol, atol, max_order)
+
+    @jax.checkpoint
+    def body_fn(c):
+        done = (c["obs_i"] >= T) | (~c["ok"])
+        return jax.lax.cond(done, lambda x: x, attempt, c)
+
+    final, _ = jax.lax.scan(lambda c, _: (body_fn(c), None), carry0, None,
+                            length=max_steps)
     stats = SolveStats(nfe=final["nfe"], n_accepted=final["nacc"],
                        n_rejected=final["nrej"],
                        success=final["ok"] & (final["obs_i"] >= T))

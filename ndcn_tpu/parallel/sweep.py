@@ -9,8 +9,7 @@ axis row-shards the (shared) graph operator and node-major activations.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

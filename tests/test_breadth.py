@@ -56,19 +56,25 @@ def test_legacy_train_gcn_rejects_continuous_models():
         main(["--model", "differential_gcn"])
 
 
-def test_adams_training_raises_clear_error():
+def test_adams_training_differentiable():
+    """--method adams trains via the bounded-scan VCABM twin."""
     import jax
     import jax.numpy as jnp
-    import pytest
 
     from ndcn_tpu.graph.sparse import from_dense
     from ndcn_tpu.models import init_ndcn, ndcn_forward
 
     op = from_dense(np.eye(4, dtype=np.float32))
     params = init_ndcn(jax.random.PRNGKey(0), 1, 4, 1)
-    with pytest.raises(ValueError, match="adams"):
-        ndcn_forward(params, op, jnp.linspace(0, 1, 3), jnp.ones((4, 1)),
-                     method="adams")
+
+    def loss(p):
+        out, _ = ndcn_forward(p, op, jnp.linspace(0, 1, 3), jnp.ones((4, 1)),
+                              method="adams", max_steps=32)
+        return jnp.mean(jnp.abs(out))
+
+    g = jax.grad(loss)(params)
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
 
 
 def test_girvan_newman_labels():
