@@ -88,7 +88,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     from ndcn_tpu.graph.sparse import as_operator
     from ndcn_tpu.models import gcn_zoo, init_ndcn, ndcn_forward
     from ndcn_tpu.train.losses import accuracy, cross_entropy
-    from ndcn_tpu.train.optim import torch_adam
+    from ndcn_tpu.train.optim import make_sgd_step, torch_adam
 
     if args.seed != -1:
         np.random.seed(args.seed)
@@ -202,21 +202,17 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     opt = torch_adam(args.lr, args.weight_decay)
     opt_state = opt.init(params)
 
+    def train_objective(q, rng):
+        logits, ok = apply(q, rng, deterministic=False)
+        loss = cross_entropy(logits[idx_train], labels[idx_train])
+        if ok is not None:
+            loss = jnp.where(ok, loss, jnp.nan)  # blown budget must be loud
+        return loss, logits
+
     from functools import partial as _partial
 
-    @_partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(p, s, rng):
-        def loss_fn(q):
-            logits, ok = apply(q, rng, deterministic=False)
-            loss = cross_entropy(logits[idx_train], labels[idx_train])
-            if ok is not None:
-                loss = jnp.where(ok, loss, jnp.nan)  # blown budget must be loud
-            return loss, logits
-
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
-        updates, s = opt.update(grads, s, p)
-        p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
-        return p, s, loss, logits
+    sgd_step = make_sgd_step(opt, train_objective)
+    train_step = _partial(jax.jit, donate_argnums=(0, 1))(sgd_step)
 
     @jax.jit
     def eval_logits(p):
@@ -275,15 +271,8 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         @_p(jax.jit, donate_argnums=(0, 1))
         def batched_step(pb, sb, rngs):
             def one(p, s, rng):
-                def loss_fn(q):
-                    logits, ok = apply(q, rng, deterministic=False)
-                    loss = cross_entropy(logits[idx_train], labels[idx_train])
-                    if ok is not None:
-                        loss = jnp.where(ok, loss, jnp.nan)
-                    return loss
-                loss, grads = jax.value_and_grad(loss_fn)(p)
-                updates, s = opt.update(grads, s, p)
-                return jax.tree_util.tree_map(lambda a, u: a + u, p, updates), s, loss
+                p, s, loss, _ = sgd_step(p, s, rng)
+                return p, s, loss
             return jax.vmap(one)(pb, sb, rngs)
 
         @jax.jit

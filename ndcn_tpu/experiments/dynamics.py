@@ -101,7 +101,7 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
     from ndcn_tpu.ode import odeint_with_stats
     from ndcn_tpu.report import results as results_lib
     from ndcn_tpu.train.losses import l1_loss
-    from ndcn_tpu.train.optim import torch_adam
+    from ndcn_tpu.train.optim import make_sgd_step, torch_adam
     from ndcn_tpu.train.checkpoint import restore_or_init, save_checkpoint
     from ndcn_tpu.train.sampling import sample_times
     from ndcn_tpu.utils.timing import Timer
@@ -246,24 +246,15 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
     opt_state = opt.init(params)
     params, opt_state, start_iter = restore_or_init(args.ckpt_dir, params, opt_state)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(p, s, rng):
-        (loss, rel), grads = jax.value_and_grad(
-            lambda q: train_loss(q, rng), has_aux=True)(p)
-        updates, s = opt.update(grads, s, p)
-        p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
-        return p, s, loss, rel
+    sgd_step = make_sgd_step(opt, train_loss)
+    train_step = partial(jax.jit, donate_argnums=(0, 1))(sgd_step)
 
     chunk = max(0, args.scan_chunk)
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("length",))
     def train_chunk(p, s, rng, length):
         def body(carry, step_rng):
-            p, s = carry
-            (loss, rel), grads = jax.value_and_grad(
-                lambda q: train_loss(q, step_rng), has_aux=True)(p)
-            updates, s = opt.update(grads, s, p)
-            p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+            p, s, loss, rel = sgd_step(*carry, step_rng)
             return (p, s), (loss, rel)
         (p, s), (losses, rels) = jax.lax.scan(body, (p, s),
                                               jax.random.split(rng, length))
@@ -309,6 +300,10 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
         if not continuous:
             raise SystemExit("--replicas currently supports the continuous "
                              "(ndcn/ablation) baselines")
+        if args.ckpt_dir or args.profile_dir or args.scan_chunk:
+            raise SystemExit("--replicas is incompatible with --ckpt_dir/"
+                             "--profile_dir/--scan_chunk (per-replica training "
+                             "runs as one vmapped program)")
         r = args.replicas
         keys = jax.random.split(key, r)
         params_b = jax.vmap(lambda k: init_ndcn(
@@ -318,13 +313,7 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def step_b(pb, sb, rngs):
-            def one(p, s, rng):
-                (loss, rel), grads = jax.value_and_grad(
-                    lambda q: train_loss(q, rng), has_aux=True)(p)
-                updates, s = opt.update(grads, s, p)
-                return (jax.tree_util.tree_map(lambda a, u: a + u, p, updates),
-                        s, loss, rel)
-            return jax.vmap(one)(pb, sb, rngs)
+            return jax.vmap(sgd_step)(pb, sb, rngs)
 
         eval_b = jax.jit(jax.vmap(evaluate))
 

@@ -26,15 +26,21 @@ from ndcn_tpu.ode.api import odeint_with_stats
 from ndcn_tpu.ode.tree_math import tree_dot, tree_map, tree_zeros_like
 
 
+def _nan_on_failure(sol, stats):
+    """Budget exhaustion must be loud: poison the trajectory with NaN instead of
+    returning the zero-filled unreached rows of the solve buffer."""
+    return tree_map(lambda b: jnp.where(stats.success, b, jnp.nan), sol)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6, 7))
 def odeint_adjoint(func: Callable, y0, t, params, rtol: float = 1e-6,
                    atol: float = 1e-12, method: Optional[str] = None,
                    options: Optional[Dict[str, Any]] = None):
     """Solve dy/dt = func(t, y, params) with continuous-adjoint gradients."""
-    sol, _ = odeint_with_stats(lambda tt, yy: func(tt, yy, params), y0, t,
-                               rtol=rtol, atol=atol, method=method,
-                               options=_nondiff(options))
-    return sol
+    sol, stats = odeint_with_stats(lambda tt, yy: func(tt, yy, params), y0, t,
+                                   rtol=rtol, atol=atol, method=method,
+                                   options=_nondiff(options))
+    return _nan_on_failure(sol, stats)
 
 
 def _nondiff(options):
@@ -77,9 +83,10 @@ def _bwd(func, rtol, atol, method, options, residuals, grad_output):
 
         aug0 = (y_i, adj_y, adj_time, adj_params)
         s_grid = jnp.stack([-t[i], -t[i - 1]])
-        aug_sol, _ = odeint_with_stats(augmented_dynamics, aug0, s_grid,
-                                       rtol=rtol, atol=atol, method=method,
-                                       options=_nondiff(options))
+        aug_sol, aug_stats = odeint_with_stats(augmented_dynamics, aug0, s_grid,
+                                               rtol=rtol, atol=atol, method=method,
+                                               options=_nondiff(options))
+        aug_sol = _nan_on_failure(aug_sol, aug_stats)
         _, adj_y, adj_time, adj_params = tree_map(lambda buf: buf[1], aug_sol)
 
         g_prev = tree_map(lambda buf: buf[i - 1], grad_output)

@@ -77,9 +77,10 @@ def _make_vcabm_machine(func, y0, t, rtol: float, atol: float, max_order: int):
     """Shared VCABM stepping machinery: returns (carry0, attempt, T).
 
     Reproduces the reference's control flow, including its predictor-advance quirk:
-    on accepted steps the state stored for the next step is the *predictor*
-    ``p_next`` (adams.py:170), not the corrected value; the corrected value is what
-    gets reported at observation times (trajectory parity at matched tolerances).
+    on accepted steps both the state stored for the next step AND the value
+    returned at observation times are the *predictor* ``p_next`` (adams.py:170 sets
+    y_n = p_next and advance() returns y_n); the corrector only refines the error
+    estimate and the divided differences.
     """
     max_order = int(max(_MIN_ORDER, min(max_order, _MAX_ORDER)))
     H = max_order + 1
@@ -226,12 +227,13 @@ def _make_vcabm_machine(func, y0, t, rtol: float, atol: float, max_order: int):
         )
 
         st_new = tree_where(accept, st_acc, st_rej)
-        # the corrected value at the (possibly observation-aligned) time point
+        # the reference reports the PREDICTOR at observation times (advance()
+        # returns y_n, which the accepted state sets to p_next, adams.py:100-103,170)
         underflow = ~(next_t > st["prev_t"][0])
         reached = accept & (next_t >= t[c["obs_i"]])
         sol = tree_map(
             lambda buf, v: jnp.where(reached, buf.at[c["obs_i"]].set(v), buf),
-            c["sol"], y_next)
+            c["sol"], p_next)
         return dict(
             c, st=st_new, sol=sol,
             obs_i=c["obs_i"] + reached.astype(jnp.int32),

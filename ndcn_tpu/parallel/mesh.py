@@ -26,11 +26,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("data", "model")) -> Mesh:
-    """A 2-D mesh over the first n devices; the data axis gets the larger factor."""
+    """A 2-D mesh over the first n devices; the data axis gets the larger factor
+    (model = largest divisor of n that is <= sqrt(n), of any parity)."""
     devices = jax.devices()
     n = len(devices) if n_devices is None else n_devices
     devices = np.asarray(devices[:n])
-    # factor n = data * model with model as the largest power-of-two divisor ≤ sqrt(n)
     model = 1
     for cand in range(1, int(np.sqrt(n)) + 1):
         if n % cand == 0:

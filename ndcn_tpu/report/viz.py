@@ -35,7 +35,10 @@ def surface(side: int, xt: np.ndarray, figname: str, title: str, outdir: str,
     os.makedirs(outdir, exist_ok=True)
     from mpl_toolkits.mplot3d import Axes3D  # noqa: F401
 
-    grid = np.asarray(xt).reshape(side, side)
+    flat = np.asarray(xt).reshape(-1)
+    padded = np.zeros(side * side, flat.dtype)
+    padded[: min(flat.size, side * side)] = flat[: side * side]
+    grid = padded.reshape(side, side)
     zmin = float(grid.min()) if zmin is None else zmin
     zmax = float(grid.max()) if zmax is None else zmax
     fig = plt.figure()

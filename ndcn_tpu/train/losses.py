@@ -24,10 +24,9 @@ def relative_l1(pred: jnp.ndarray, true: jnp.ndarray) -> jnp.ndarray:
 
 def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Softmax CE, mean over rows. logits (m, C), labels (m,) int."""
-    logz = jnp.log(jnp.sum(jnp.exp(logits - logits.max(-1, keepdims=True)), -1))
-    picked = jnp.take_along_axis(logits - logits.max(-1, keepdims=True),
-                                 labels[:, None], axis=-1)[:, 0]
-    return jnp.mean(logz - picked)
+    import optax
+
+    return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(logits, labels))
 
 
 def accuracy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:

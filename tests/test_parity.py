@@ -46,6 +46,19 @@ def test_fixed_grid_parity(method):
     assert rel_l1(np.asarray(sol), f["sol"]) < 1e-4
 
 
+def test_vcabm_adams_parity():
+    """Adaptive-order VCABM incl. the predictor-advance/report quirk."""
+    f = load("linear2d_adams")
+    a = jnp.asarray(f["a"])
+    sol = odeint(lambda t, y: y @ a.T, jnp.asarray(f["y0"]), jnp.asarray(f["t"]),
+                 rtol=1e-6, atol=1e-8, method="adams",
+                 options={"differentiable": False})
+    # 5e-4 (not 1e-4): the VCABM g/beta divided-difference recurrences run in
+    # float32 time here vs the reference's float64 (solvers.py:28), which shifts
+    # the accept sequence slightly; the flagship dopri5 paths hold 1e-4.
+    assert rel_l1(np.asarray(sol), f["sol"]) < 5e-4
+
+
 def test_heat_grid400_parity():
     f = load("heat_grid400_dopri5")
     from ndcn_tpu.graph import generators

@@ -62,6 +62,13 @@ def main():
         fixtures[f"decay_{method}"] = dict(t=t.numpy(), y0=y0.numpy(),
                                            sol=sol.numpy())
 
+    # ---- 2b. adaptive-order VCABM on a linear system -------------------------
+    t = torch.linspace(0.0, 4.0, 25)
+    y0 = torch.tensor([[1.0, -0.5]])
+    sol = ode.odeint(Lin(), y0, t, rtol=1e-6, atol=1e-8, method="adams")
+    fixtures["linear2d_adams"] = dict(t=t.numpy(), y0=y0.numpy(),
+                                      a=a_mat.numpy(), sol=sol.numpy())
+
     # ---- 3. heat diffusion on the 400-node grid (flagship physics) ----------
     adj = generators.build_network("grid", 400, seed=0)
     lap = operators.laplacian_dense(adj)  # D - A
