@@ -70,6 +70,9 @@ def build_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--ckpt_freq", type=int, default=200)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of training iterations here")
+    p.add_argument("--fused_kernel", action="store_true",
+                   help="route the NDCN RHS through the fused Pallas kernel "
+                        "(dense operator, control on, dropout 0)")
     p.add_argument("--scan_chunk", type=int, default=0,
                    help="run this many training steps per device dispatch "
                         "(lax.scan chunking; 0 = one dispatch per step). "
@@ -211,7 +214,7 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
             out, stats = ndcn_forward(
                 p, op, vt, y0, rtol=args.rtol, atol=args.atol, method=args.method,
                 dropout=args.dropout, rng=rng, adjoint=args.adjoint,
-                max_steps=max_steps, **flags)
+                max_steps=max_steps, fused=args.fused_kernel, **flags)
             return jnp.squeeze(out, -1).T, stats    # (n, T)
 
         def train_loss(p, rng):

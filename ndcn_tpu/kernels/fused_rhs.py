@@ -36,6 +36,39 @@ def _kernel(a_ref, h_ref, w_ref, b_ref, out_ref):
     out_ref[:, :] = jnp.maximum(ahw + b_ref[:, :], 0.0)
 
 
+@jax.custom_vjp
+def fused_ode_rhs(a: jnp.ndarray, h: jnp.ndarray, w: jnp.ndarray,
+                  b: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable fused RHS: relu((a @ h) @ w + b).
+
+    Forward runs the Pallas kernel (intermediate stays in VMEM); the backward
+    pass recomputes ah = a @ h and applies the standard matmul transposes (XLA
+    fuses those well on its own). ``a`` is treated as a constant operator (its
+    cotangent is zero), matching every model in this framework.
+    """
+    return fused_graph_rhs(a, h, w, b)
+
+
+def _fused_fwd(a, h, w, b):
+    out = fused_graph_rhs(a, h, w, b)
+    return out, (a, h, w, out)
+
+
+def _fused_bwd(res, g):
+    a, h, w, out = res
+    g = g * (out > 0).astype(g.dtype)          # relu mask (out==0 ⇒ blocked)
+    ah = jnp.matmul(a, h, preferred_element_type=jnp.float32)
+    dh = jnp.matmul(a.T, jnp.matmul(g, w.T,
+                                    preferred_element_type=jnp.float32),
+                    preferred_element_type=jnp.float32).astype(h.dtype)
+    dw = jnp.matmul(ah.T, g, preferred_element_type=jnp.float32).astype(w.dtype)
+    db = jnp.sum(g, axis=0).astype(g.dtype)
+    return jnp.zeros_like(a), dh, dw, db
+
+
+fused_ode_rhs.defvjp(_fused_fwd, _fused_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("block_rows",))
 def fused_graph_rhs(a: jnp.ndarray, h: jnp.ndarray, w: jnp.ndarray,
                     b: jnp.ndarray, block_rows: int = 256) -> jnp.ndarray:

@@ -30,9 +30,19 @@ from ndcn_tpu.ode.adjoint import odeint_adjoint
 
 def ode_func(params: Dict[str, Any], op: GraphOperator, t, h,
              no_graph: bool = False, no_control: bool = False,
-             drop_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+             drop_mask: Optional[jnp.ndarray] = None,
+             fused: bool = False) -> jnp.ndarray:
     """The learned RHS. ``drop_mask`` is a fixed inverted-dropout mask (see
-    models/nn.dropout_mask for why it is not resampled per eval)."""
+    models/nn.dropout_mask for why it is not resampled per eval).
+
+    ``fused=True`` routes the full relu((A h) W + b) through the Pallas kernel
+    (dense operator, control on, no dropout): the propagated hidden state never
+    leaves VMEM between the two matmuls."""
+    if (fused and not no_graph and not no_control and drop_mask is None
+            and hasattr(op, "mat")):
+        from ndcn_tpu.kernels.fused_rhs import fused_ode_rhs
+
+        return fused_ode_rhs(op.mat, h, params["wt"]["w"], params["wt"]["b"])
     if not no_graph:
         h = matvec(op, h)
     if not no_control:
@@ -90,7 +100,8 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
                  no_embed: bool = False, no_graph: bool = False,
                  no_control: bool = False, dropout: float = 0.0,
                  rng: Optional[jax.Array] = None, adjoint: bool = False,
-                 max_steps: int = 256, nondiff: bool = False):
+                 max_steps: int = 256, nondiff: bool = False,
+                 fused: bool = False):
     """Full NDCN forward. Returns (output, stats).
 
     output: (T, n, num_classes) trajectory, or (n, num_classes) if terminal.
@@ -107,7 +118,7 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
 
     def func(p, t, hh):
         return ode_func(p, op, t, hh, no_graph=no_graph, no_control=no_control,
-                        drop_mask=drop_mask)
+                        drop_mask=drop_mask, fused=fused)
 
     ode_params = {k: params[k] for k in ("wt",) if k in params}
     hvx, stats = ode_block(func, h, vt, rtol, atol, method, terminal=terminal,

@@ -73,3 +73,48 @@ def test_fused_graph_rhs_unaligned():
                         jnp.asarray(b))
     ref = np.maximum((a @ h) @ w + b, 0)
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+
+
+def test_fused_ode_rhs_gradients():
+    """The differentiable fused RHS must match the unfused math and grads."""
+    from ndcn_tpu.kernels.fused_rhs import fused_ode_rhs
+
+    rng = np.random.RandomState(2)
+    a = rng.rand(64, 64).astype(np.float32)
+    h = rng.randn(64, 16).astype(np.float32)
+    w = rng.randn(16, 16).astype(np.float32)
+    b = rng.randn(16).astype(np.float32)
+
+    def ref(h_, w_, b_):
+        return jax.nn.relu((jnp.asarray(a) @ h_) @ w_ + b_)
+
+    out = fused_ode_rhs(jnp.asarray(a), jnp.asarray(h), jnp.asarray(w),
+                        jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref(jnp.asarray(h), jnp.asarray(w),
+                                              jnp.asarray(b))), atol=1e-5)
+
+    g_f = jax.grad(lambda hh, ww, bb: jnp.sum(
+        fused_ode_rhs(jnp.asarray(a), hh, ww, bb) ** 2), argnums=(0, 1, 2))(
+        jnp.asarray(h), jnp.asarray(w), jnp.asarray(b))
+    g_r = jax.grad(lambda hh, ww, bb: jnp.sum(ref(hh, ww, bb) ** 2),
+                   argnums=(0, 1, 2))(jnp.asarray(h), jnp.asarray(w),
+                                      jnp.asarray(b))
+    for gf, gr in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_ndcn_forward_fused_matches_unfused():
+    from ndcn_tpu.graph.sparse import from_dense
+    from ndcn_tpu.models import init_ndcn, ndcn_forward
+
+    rng = np.random.RandomState(0)
+    a = rng.rand(40, 40).astype(np.float32)
+    op = from_dense(a)
+    x0 = jnp.asarray(rng.rand(40, 1), jnp.float32)
+    vt = jnp.linspace(0.0, 1.0, 6)
+    params = init_ndcn(jax.random.PRNGKey(3), 1, 8, 1)
+    out_u, _ = ndcn_forward(params, op, vt, x0, method="rk4")
+    out_f, _ = ndcn_forward(params, op, vt, x0, method="rk4", fused=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u), atol=1e-4)
