@@ -128,3 +128,13 @@ def test_gene_all_topologies_smoke(network):
     from ndcn_tpu.experiments.dynamics import run
     out = run("gene", _dyn_args(["--network", network]))
     assert np.isfinite(out["final"]["abs_error"])
+
+
+def test_sample_trajectory_windows():
+    from ndcn_tpu.train.sampling import sample_trajectory_windows
+    rng = np.random.RandomState(0)
+    traj = np.arange(100).reshape(100, 1).astype(np.float32)
+    y0, window = sample_trajectory_windows(rng, traj, batch_time=5, batch_size=8)
+    assert y0.shape == (8, 1) and window.shape == (5, 8, 1)
+    np.testing.assert_allclose(window[0], y0)
+    np.testing.assert_allclose(window[4], y0 + 4)  # consecutive samples
