@@ -130,3 +130,22 @@ def test_synthetic_planetoid_roundtrip(tmp_path):
          "--platform", "cpu", "--fastmode"])
     out = run(args)
     assert out["rows"][0][2] > 1.0 / 3  # beats chance => features/labels aligned
+
+
+def test_dgnn_sparse_coo_ode_path(tmp_path):
+    """differential_gcn over the COO segment-sum operator, end to end."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(DATA_DIR)))
+    from tools.make_synthetic_planetoid import make_dataset
+
+    make_dataset("tiny_synth2", n=200, n_features=30, n_classes=3,
+                 out_dir=str(tmp_path), seed=1, n_test=40)
+    from ndcn_tpu.experiments.dgnn import build_parser, run
+    args, _ = build_parser().parse_known_args(
+        ["--model", "differential_gcn", "--epochs", "25", "--hidden", "16",
+         "--T", "1.0", "--time_tick", "4", "--dropout", "0", "--no_control",
+         "--alpha", "0.5", "--seed", "3", "--dataset", "tiny_synth2",
+         "--data_dir", str(tmp_path), "--platform", "cpu", "--sparse",
+         "--sparse_format", "coo", "--fastmode"])
+    out = run(args)
+    assert out["rows"][0][2] > 1.0 / 3
