@@ -44,6 +44,29 @@ SOLVERS = ("dopri5", "tsit5", "euler", "midpoint", "rk4",
 _DEFAULT_MAX_STEPS_SCAN = 256
 _DEFAULT_MAX_STEPS_WHILE = 1 << 16
 
+# recognized per-method option keys (reference warns on unexpected kwargs,
+# misc.py:79-81; a typo'd option silently ignored is a debugging trap)
+_COMMON_OPTIONS = {"differentiable", "max_steps"}
+_METHOD_OPTIONS = {
+    "dopri5": _COMMON_OPTIONS | {"safety", "ifactor", "dfactor", "first_step"},
+    "tsit5": _COMMON_OPTIONS | {"safety", "ifactor", "dfactor", "first_step"},
+    "euler": {"step_size"},
+    "midpoint": {"step_size"},
+    "rk4": {"step_size"},
+    "explicit_adams": {"max_order", "max_iters"},
+    "fixed_adams": {"max_order", "max_iters"},
+    "adams": _COMMON_OPTIONS | {"max_order"},
+}
+
+
+def _check_options(method: str, options: Dict[str, Any]) -> None:
+    unknown = set(options) - _METHOD_OPTIONS[method]
+    if unknown:
+        import warnings
+
+        warnings.warn(f"{method}: unexpected options {sorted(unknown)} "
+                      f"(recognized: {sorted(_METHOD_OPTIONS[method])})")
+
 
 def _canonical_time(t):
     tdtype = jnp.result_type(jnp.asarray(t).dtype, jnp.float32)
@@ -81,6 +104,7 @@ def odeint_with_stats(func: Callable, y0, t, rtol: float = 1e-7, atol: float = 1
         method = "dopri5"
     if method not in SOLVERS:
         raise ValueError(f"unknown method {method!r}; choose from {SOLVERS}")
+    _check_options(method, options)
 
     func, t, _ = _maybe_reverse(func, y0, t)
     t = _canonical_time(t)
