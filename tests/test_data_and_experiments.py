@@ -149,3 +149,24 @@ def test_dgnn_sparse_coo_ode_path(tmp_path):
          "--sparse_format", "coo", "--fastmode"])
     out = run(args)
     assert out["rows"][0][2] > 1.0 / 3
+
+
+@pytest.mark.parametrize("model", ["DeepGCN", "DeepGCN2", "DeepGCN3", "DeepGCN4",
+                                   "resGCN", "odeGCN"])
+def test_dgnn_model_zoo_end_to_end(model, tmp_path):
+    """Every dgnn zoo entry must run through the real driver."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(DATA_DIR)))
+    from tools.make_synthetic_planetoid import make_dataset
+
+    d = str(tmp_path / "z")
+    make_dataset("zoo_synth", n=120, n_features=20, n_classes=3,
+                 out_dir=d, seed=0, n_test=30)
+    from ndcn_tpu.experiments.dgnn import build_parser, run
+    args, _ = build_parser().parse_known_args(
+        ["--model", model, "--epochs", "3", "--hidden", "8", "-nhl", "2",
+         "--seed", "1", "--dataset", "zoo_synth", "--data_dir", d,
+         "--platform", "cpu", "--fastmode", "--max_steps", "16",
+         "--time_tick", "3", "--T", "1.0"])
+    out = run(args)
+    assert np.isfinite(out["rows"][0][1])
