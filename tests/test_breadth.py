@@ -138,3 +138,17 @@ def test_sample_trajectory_windows():
     assert y0.shape == (8, 1) and window.shape == (5, 8, 1)
     np.testing.assert_allclose(window[0], y0)
     np.testing.assert_allclose(window[4], y0 + 4)  # consecutive samples
+
+
+def test_viz_end_to_end(tmp_path, monkeypatch):
+    """--viz writes adjacency + surface figures without crashing."""
+    monkeypatch.chdir(tmp_path)
+    from ndcn_tpu.experiments.dynamics import build_parser, run
+    args = build_parser("t").parse_args(
+        ["--n", "30", "--time_tick", "6", "--niters", "4", "--test_freq", "4",
+         "--platform", "cpu", "--method", "euler", "--network", "random",
+         "--viz"])
+    run("heat", args)
+    import glob
+    assert glob.glob("figure/network/*.png")
+    assert glob.glob("figure/heat/random/*.png")

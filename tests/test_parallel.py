@@ -97,3 +97,12 @@ def test_vmapped_seed_sweep_matches_sequential():
         single = fwd(jax.tree_util.tree_map(lambda l: l[i], params))
         np.testing.assert_allclose(np.asarray(batched[i]), np.asarray(single),
                                    rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_dryrun_multichip_device_counts(n_devices):
+    """The driver may probe various mesh sizes; all must factor and run."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+    g.dryrun_multichip(n_devices)
