@@ -51,6 +51,7 @@ def run(args: argparse.Namespace):
     from ndcn_tpu.ode.adjoint import odeint_adjoint
     from ndcn_tpu.train.losses import l1_loss
     from ndcn_tpu.train.optim import torch_adam
+    from ndcn_tpu.train.sampling import sample_trajectory_windows
 
     t_start = time.time()
     true_y0 = jnp.asarray([[0.9, 1.8]], jnp.float32)
@@ -79,14 +80,13 @@ def run(args: argparse.Namespace):
 
     rng = np.random.RandomState(args.seed)
 
+    traj_host = np.asarray(true_y[:, 0])  # (data_size, 2) on host for sampling
+
     def get_batch():
-        """Random trajectory windows (LV_model.py:80-89): batch of start indices,
-        each paired with the following batch_time samples."""
-        s = rng.choice(args.data_size - args.batch_time, args.batch_size,
-                       replace=False)
-        batch_y0 = true_y[s, 0]                                  # (B, 2)
-        batch_y = jnp.stack([true_y[s + i, 0] for i in range(args.batch_time)])
-        return batch_y0, batch_y                                 # (T, B, 2)
+        """Random trajectory windows (LV_model.py:80-89)."""
+        y0, window = sample_trajectory_windows(rng, traj_host, args.batch_time,
+                                               args.batch_size)
+        return jnp.asarray(y0), jnp.asarray(window)
 
     @jax.jit
     def train_step(p, s_opt, batch_y0, batch_y):

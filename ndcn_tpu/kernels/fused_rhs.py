@@ -56,12 +56,17 @@ def _fused_fwd(a, h, w, b):
 
 def _fused_bwd(res, g):
     a, h, w, out = res
+    # match the forward kernel's full-f32 MXU passes: preferred_element_type only
+    # sets the accumulator; without precision=HIGHEST the inputs truncate to bf16
+    # and the gradients belong to a lower-precision function than the forward
+    hi = jax.lax.Precision.HIGHEST
     g = g * (out > 0).astype(g.dtype)          # relu mask (out==0 ⇒ blocked)
-    ah = jnp.matmul(a, h, preferred_element_type=jnp.float32)
-    dh = jnp.matmul(a.T, jnp.matmul(g, w.T,
-                                    preferred_element_type=jnp.float32),
-                    preferred_element_type=jnp.float32).astype(h.dtype)
-    dw = jnp.matmul(ah.T, g, preferred_element_type=jnp.float32).astype(w.dtype)
+    ah = jnp.matmul(a, h, preferred_element_type=jnp.float32, precision=hi)
+    dh = jnp.matmul(a.T, jnp.matmul(g, w.T, preferred_element_type=jnp.float32,
+                                    precision=hi),
+                    preferred_element_type=jnp.float32, precision=hi).astype(h.dtype)
+    dw = jnp.matmul(ah.T, g, preferred_element_type=jnp.float32,
+                    precision=hi).astype(w.dtype)
     db = jnp.sum(g, axis=0).astype(g.dtype)
     return jnp.zeros_like(a), dh, dw, db
 
@@ -80,7 +85,12 @@ def fused_graph_rhs(a: jnp.ndarray, h: jnp.ndarray, w: jnp.ndarray,
     n_pad = _round_up(n, block_rows)
     k_pad = _round_up(max(k, 128), 128)
 
-    a_p = jnp.zeros((n_pad, n_pad), jnp.float32).at[:n, :n].set(a)
+    # skip the (n_pad, n_pad) copy when the operator is already aligned — the
+    # solver scan evaluates this ~6x per step and A is loop-invariant
+    if a.shape == (n_pad, n_pad):
+        a_p = a.astype(jnp.float32)
+    else:
+        a_p = jnp.zeros((n_pad, n_pad), jnp.float32).at[:n, :n].set(a)
     h_p = jnp.zeros((n_pad, k_pad), jnp.float32).at[:n, :k].set(h)
     w_p = jnp.zeros((k_pad, k_pad), jnp.float32).at[:k, :k].set(w)
     b_p = jnp.zeros((1, k_pad), jnp.float32).at[0, :k].set(b)

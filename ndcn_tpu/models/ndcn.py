@@ -38,11 +38,19 @@ def ode_func(params: Dict[str, Any], op: GraphOperator, t, h,
     ``fused=True`` routes the full relu((A h) W + b) through the Pallas kernel
     (dense operator, control on, no dropout): the propagated hidden state never
     leaves VMEM between the two matmuls."""
-    if (fused and not no_graph and not no_control and drop_mask is None
-            and hasattr(op, "mat")):
-        from ndcn_tpu.kernels.fused_rhs import fused_ode_rhs
+    if fused:
+        usable = (not no_graph and not no_control and drop_mask is None
+                  and hasattr(op, "mat"))
+        if not usable:
+            import warnings
 
-        return fused_ode_rhs(op.mat, h, params["wt"]["w"], params["wt"]["b"])
+            warnings.warn("fused RHS requested but unusable (needs a dense "
+                          "operator, control on, dropout 0); falling back to "
+                          "the unfused path")
+        else:
+            from ndcn_tpu.kernels.fused_rhs import fused_ode_rhs
+
+            return fused_ode_rhs(op.mat, h, params["wt"]["w"], params["wt"]["b"])
     if not no_graph:
         h = matvec(op, h)
     if not no_control:

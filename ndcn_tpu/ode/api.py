@@ -50,11 +50,13 @@ _COMMON_OPTIONS = {"differentiable", "max_steps"}
 _METHOD_OPTIONS = {
     "dopri5": _COMMON_OPTIONS | {"safety", "ifactor", "dfactor", "first_step"},
     "tsit5": _COMMON_OPTIONS | {"safety", "ifactor", "dfactor", "first_step"},
-    "euler": {"step_size"},
-    "midpoint": {"step_size"},
-    "rk4": {"step_size"},
-    "explicit_adams": {"max_order", "max_iters"},
-    "fixed_adams": {"max_order", "max_iters"},
+    # fixed-grid/fixed-order methods accept (and ignore) the common options so
+    # method-agnostic callers like ode_block can pass one options dict
+    "euler": _COMMON_OPTIONS | {"step_size"},
+    "midpoint": _COMMON_OPTIONS | {"step_size"},
+    "rk4": _COMMON_OPTIONS | {"step_size"},
+    "explicit_adams": _COMMON_OPTIONS | {"max_order", "max_iters"},
+    "fixed_adams": _COMMON_OPTIONS | {"max_order", "max_iters"},
     "adams": _COMMON_OPTIONS | {"max_order"},
 }
 
