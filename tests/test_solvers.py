@@ -165,3 +165,14 @@ def test_time_dependent_rhs():
     sol = odeint(f, y0, t, rtol=1e-6, atol=1e-8, method="dopri5")
     expected = (np.asarray(t) ** 2 / 2)[:, None] * np.ones((1, 2))
     np.testing.assert_allclose(np.asarray(sol), expected, atol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["euler", "midpoint"])
+def test_fixed_grid_step_size_euler_midpoint(method):
+    t = jnp.linspace(0.0, 1.5, 6)
+    y0 = jnp.ones((3,))
+    sol = odeint(exp_decay, y0, t, method=method, options={"step_size": 0.005})
+    expected = np.exp(-np.asarray(t))[:, None] * np.ones((1, 3))
+    # euler's global error at dt=0.005 over T=1.5 is ~1e-3 (first order)
+    tol = 2e-3 if method == "euler" else 5e-5
+    np.testing.assert_allclose(np.asarray(sol), expected, atol=tol, rtol=0)
