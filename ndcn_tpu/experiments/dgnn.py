@@ -245,6 +245,17 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                               "DeepGCN2", "DeepGCN4"):
             raise SystemExit(f"--batch_iters unsupported for {model_name}")
         r = args.iter
+        # rough HBM footprint: the scan emits per-step dense-output states
+        # (max_steps x 5 x n x hidden f32) per replica, roughly tripled by the
+        # backward; warn before the runtime dies with RESOURCE_EXHAUSTED.
+        ms_est = args.max_steps if args.max_steps > 0 else 16
+        est = r * ms_est * 5 * n * args.hidden * 4 * 3
+        if est > 12e9:
+            suggested = max(1, int(12e9 // (ms_est * 5 * n * args.hidden * 4 * 3)))
+            raise SystemExit(
+                f"--batch_iters with {r} replicas needs ~{est / 1e9:.0f} GB of "
+                f"HBM for solver buffers; run batches of <= {suggested} replicas "
+                f"instead (or reduce --hidden/--max_steps)")
         init_one = {
             "GCN": lambda k: gcn_zoo.init_gcn(k, in_dim, args.hidden, num_classes, nhl),
             "DeepGCN": lambda k: gcn_zoo.init_deep_gcn(k, in_dim, args.hidden,
