@@ -249,9 +249,9 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         # (max_steps x 5 x n x hidden f32) per replica, roughly tripled by the
         # backward; warn before the runtime dies with RESOURCE_EXHAUSTED.
         ms_est = args.max_steps if args.max_steps > 0 else 16
-        est = r * ms_est * 5 * n * args.hidden * 4 * 3
-        if est > 12e9:
-            suggested = max(1, int(12e9 // (ms_est * 5 * n * args.hidden * 4 * 3)))
+        est = r * ms_est * 5 * n * args.hidden * 4 * 2
+        if est > 13e9:
+            suggested = max(1, int(13e9 // (ms_est * 5 * n * args.hidden * 4 * 2)))
             raise SystemExit(
                 f"--batch_iters with {r} replicas needs ~{est / 1e9:.0f} GB of "
                 f"HBM for solver buffers; run batches of <= {suggested} replicas "

@@ -152,3 +152,17 @@ def test_viz_end_to_end(tmp_path, monkeypatch):
     import glob
     assert glob.glob("figure/network/*.png")
     assert glob.glob("figure/heat/random/*.png")
+
+
+def test_error_curves_and_animation(tmp_path):
+    from ndcn_tpu.report import viz
+    p = str(tmp_path / "curves")
+    viz.error_curves([1, 2, 3], [0.3, 0.2, 0.1], [0.05, 0.04, 0.03], p)
+    import os
+    assert os.path.exists(p + ".png")
+    # frames -> gif
+    viz.surface(4, np.arange(16.0), "000-f", "t", str(tmp_path))
+    viz.surface(4, np.arange(16.0)[::-1], "001-f", "t", str(tmp_path))
+    out = str(tmp_path / "anim.gif")
+    viz.frames_to_animation(str(tmp_path), "*-f.png", out, fps=2)
+    assert os.path.exists(out)
