@@ -32,6 +32,10 @@ def enable_compile_cache(path: str = "/tmp/ndcn_jax_cache") -> None:
 
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_COMPILATION_CACHE_DIR"])
+        # without these, the large train executables never land in the cache
+        # (verified: 42 s cold compile -> 11 s cache hit in a fresh process)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass
 
