@@ -331,9 +331,19 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         fout.write(vars(args).__str__() + "\n")
         fout.write("Time\tLoss\tAccuracy\tStep\n")
 
+    def print_epoch(it, epoch, st, dt):
+        print("ITER: {:04d}".format(it + 1),
+              "Epoch: {:04d}".format(epoch + 1),
+              "loss_train: {:.4f}".format(st[0]),
+              "acc_train: {:.4f}".format(st[2]),
+              "loss_val: {:.4f}".format(st[3]),
+              "acc_val: {:.4f}".format(st[4]),
+              "time: {:.4f}s".format(dt))
+
     rows = []
     for it in range(args.iter):
         t_start = time.time()
+        pending = None  # (epoch, device stats, wall time) — printed one epoch late
         for epoch in range(args.epochs):
             t_epoch = time.time()
             key, rng = jax.random.split(key)
@@ -343,14 +353,14 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                 logits = train_logits
             else:
                 logits = eval_logits(params)
-            st = np.asarray(epoch_stats(logits, loss_train))
-            print("ITER: {:04d}".format(it + 1),
-                  "Epoch: {:04d}".format(epoch + 1),
-                  "loss_train: {:.4f}".format(st[0]),
-                  "acc_train: {:.4f}".format(st[2]),
-                  "loss_val: {:.4f}".format(st[3]),
-                  "acc_val: {:.4f}".format(st[4]),
-                  "time: {:.4f}s".format(time.time() - t_epoch))
+            st_dev = epoch_stats(logits, loss_train)
+            # fetch the PREVIOUS epoch's stats now: its transfer overlapped with
+            # this epoch's compute, hiding the ~30 ms tunnel round trip
+            if pending is not None:
+                print_epoch(it, pending[0], np.asarray(pending[1]), pending[2])
+            pending = (epoch, st_dev, time.time() - t_epoch)
+        if pending is not None:
+            print_epoch(it, pending[0], np.asarray(pending[1]), pending[2])
         print("Optimization Finished!")
         t_total = time.time() - t_start
         print("Total time elapsed: {:.4f}s".format(t_total))
