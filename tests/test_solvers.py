@@ -176,3 +176,40 @@ def test_fixed_grid_step_size_euler_midpoint(method):
     # euler's global error at dt=0.005 over T=1.5 is ~1e-3 (first order)
     tol = 2e-3 if method == "euler" else 5e-5
     np.testing.assert_allclose(np.asarray(sol), expected, atol=tol, rtol=0)
+
+
+def test_first_step_honored():
+    """Deviation guard: a provided first_step is used as given (the reference
+    replaces any caller value with 0.01, dopri5.py:81-82)."""
+    t = jnp.linspace(0.0, 1.0, 4)
+    y0 = jnp.ones((2,))
+    _, stats_small = odeint_with_stats(exp_decay, y0, t, rtol=1e-3, atol=1e-5,
+                                       method="dopri5",
+                                       options={"first_step": 1e-4})
+    _, stats_big = odeint_with_stats(exp_decay, y0, t, rtol=1e-3, atol=1e-5,
+                                     method="dopri5",
+                                     options={"first_step": 0.5})
+    # a tiny first step needs strictly more accepted steps than a large one
+    assert int(stats_small.n_accepted) > int(stats_big.n_accepted)
+
+
+def test_unknown_option_warns():
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        odeint(exp_decay, jnp.ones(2), jnp.linspace(0, 1, 4), method="dopri5",
+               options={"max_step": 5})
+    assert any("unexpected options" in str(x.message) for x in w)
+
+
+@pytest.mark.parametrize("method", ["tsit5", "midpoint", "fixed_adams"])
+def test_dynamics_driver_all_methods(method):
+    """Each solver trains through the real dynamics driver."""
+    from ndcn_tpu.experiments.dynamics import build_parser, run
+
+    args = build_parser("t").parse_args(
+        ["--n", "36", "--time_tick", "8", "--niters", "4", "--test_freq", "4",
+         "--platform", "cpu", "--method", method, "--max_steps", "32"])
+    out = run("heat", args)
+    assert np.isfinite(out["final"]["abs_error"])
