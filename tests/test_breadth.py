@@ -166,3 +166,10 @@ def test_error_curves_and_animation(tmp_path):
     out = str(tmp_path / "anim.gif")
     viz.frames_to_animation(str(tmp_path), "*-f.png", out, fps=2)
     assert os.path.exists(out)
+
+
+def test_mutualistic_sparse_ell_driver():
+    """Mutualistic --sparse exercises the ELL pairwise-interaction path e2e."""
+    from ndcn_tpu.experiments.dynamics import run
+    out = run("mutualistic", _dyn_args(["--sparse"]))
+    assert np.isfinite(out["final"]["abs_error"])
