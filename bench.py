@@ -25,12 +25,6 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ndcn_jax_cache")
 
 
-def _enable_cache():
-    from ndcn_tpu.utils.platform import enable_compile_cache
-
-    enable_compile_cache(os.environ["JAX_COMPILATION_CACHE_DIR"])
-
-
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
@@ -57,7 +51,9 @@ def setup_problem():
 
 
 def bench_jax(om, t_train, x0, reps=200):
-    _enable_cache()
+    from ndcn_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
