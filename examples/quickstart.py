@@ -4,6 +4,11 @@ Run:  python examples/quickstart.py            (TPU if available)
       JAX_PLATFORMS=cpu python examples/quickstart.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 
