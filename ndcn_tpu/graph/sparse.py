@@ -150,6 +150,9 @@ def as_operator(mat, sparse: bool = False, dtype=jnp.float32,
 
 def matvec(op: GraphOperator, x: jnp.ndarray) -> jnp.ndarray:
     """A @ X for X of shape (n, d). The hot op of every model RHS."""
+    custom = getattr(op, "_matvec", None)
+    if custom is not None:  # e.g. parallel.coo_shard.RowShardedCoo
+        return custom(x)
     if isinstance(op, DenseGraph):
         return jnp.matmul(op.mat, x, preferred_element_type=x.dtype)
     if isinstance(op, BsrGraph):

@@ -1,0 +1,139 @@
+"""Multi-chip dryrun: jit the FULL NDCN training step over an n-device mesh.
+
+Run directly (``python -m ndcn_tpu.parallel.dryrun N``) this forces the CPU
+platform when the environment asks for it, so a driver on a 1-chip (or 0-chip)
+host can still validate the multi-device sharding program on N virtual devices
+— exactly the tests/conftest.py bootstrap, self-contained.
+
+What it validates (beyond "compiles"):
+1. the flagship differentiable-dopri5 multi-replica train step (dp replicas ×
+   row-sharded operator/activations) runs on the mesh and is finite;
+2. the sharded step numerically equals the same step run without any mesh
+   (rel-L1 ≤ 1e-5 on losses and updated params) — sharding must not change math;
+3. the sparse path: a row-block-sharded COO operator (shard_map SpMV) matches
+   the dense matvec and trains through grad.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def _rel_l1(a, b) -> float:
+    import jax
+
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    num = sum(float(np.abs(np.asarray(x) - np.asarray(y)).sum())
+              for x, y in zip(la, lb))
+    den = sum(float(np.abs(np.asarray(y)).sum()) for y in lb) + 1e-30
+    return num / den
+
+
+def run_dryrun(n_devices: int) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ndcn_tpu.graph import generators, operators
+    from ndcn_tpu.graph.sparse import from_dense, from_scipy_coo, matvec
+    from ndcn_tpu.parallel.coo_shard import shard_coo_rows
+    from ndcn_tpu.parallel.mesh import make_mesh
+    from ndcn_tpu.parallel.sweep import (make_sharded_ndcn_train_step,
+                                         place_problem_on_mesh)
+
+    avail = len(jax.devices())
+    if avail < n_devices:
+        raise RuntimeError(
+            f"dryrun needs {n_devices} devices but the platform has {avail}; "
+            f"run via __graft_entry__.dryrun_multichip (it bootstraps a CPU "
+            f"virtual mesh in a subprocess) or set JAX_PLATFORMS=cpu + "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices}")
+
+    mesh = make_mesh(n_devices)
+    data_size, model_size = mesh.devices.shape
+    print(f"mesh: {n_devices} devices = data={data_size} x model={model_size} "
+          f"on {jax.devices()[0].platform}")
+
+    # tiny flagship problem: node count divisible by the model axis
+    n = 8 * model_size
+    side = int(np.ceil(np.sqrt(n)))
+    adj = generators.build_network("random", n, seed=0)
+    dense_np = operators.normalized_laplacian(adj)
+    op = from_dense(dense_np)
+    x0 = jnp.asarray(generators.grid_block_initial_value(side)[:n], jnp.float32)
+    vt = jnp.asarray(np.linspace(0.0, 1.0, 5), jnp.float32)
+    target = jnp.zeros((len(vt), n, 1), jnp.float32)
+    n_replicas = 2 * data_size
+
+    # ---- 1. flagship sharded step: differentiable dopri5, grad through solver
+    with mesh:
+        op_s, x0_s, target_s, vt_s = place_problem_on_mesh(
+            mesh, op, x0, target, vt)
+        init_fn, step_fn = make_sharded_ndcn_train_step(
+            mesh, op_s, vt_s, x0_s, target_s, method="dopri5", hidden=8,
+            max_steps=32)
+        params0, opt0 = init_fn(jax.random.PRNGKey(0), n_replicas)
+        params1, opt1, losses = step_fn(params0, opt0)
+        losses = jax.block_until_ready(losses)
+    assert losses.shape == (n_replicas,)
+    assert bool(jnp.all(jnp.isfinite(losses))), "sharded dopri5 step not finite"
+    print(f"sharded dopri5 train step ok: {n_replicas} replicas, "
+          f"loss mean {float(losses.mean()):.6f}")
+
+    # ---- 2. numerical parity: the same step with no mesh involvement at all
+    host = jax.tree_util.tree_map(np.asarray, (params0, opt0))
+    params0_h, opt0_h = jax.tree_util.tree_map(jnp.asarray, host)
+    _, ref_step = make_sharded_ndcn_train_step(
+        None, op, vt, x0, target, method="dopri5", hidden=8, max_steps=32)
+    params1_ref, _, losses_ref = ref_step(params0_h, opt0_h)
+    d_loss = _rel_l1(losses, losses_ref)
+    d_params = _rel_l1(params1, params1_ref)
+    print(f"sharded vs single-device parity: rel-L1 loss={d_loss:.3e} "
+          f"params={d_params:.3e}")
+    assert d_loss <= 1e-5 and d_params <= 1e-5, \
+        f"sharded step diverged from single-device math ({d_loss=}, {d_params=})"
+
+    # ---- 3. sparse path: row-block sharded COO SpMV + grad through it
+    import scipy.sparse as sp
+
+    coo = from_scipy_coo(sp.csr_matrix(dense_np))
+    with mesh:
+        rs = shard_coo_rows(coo, mesh)
+        x = jnp.asarray(np.random.RandomState(3).rand(n, 4), jnp.float32)
+        y_sharded = jax.jit(lambda o, xx: matvec(o, xx))(rs, x)
+        y_dense = matvec(op, x)
+        d_spmv = _rel_l1(y_sharded, y_dense)
+
+        def loss_fn(xx):
+            return jnp.sum(matvec(rs, xx) ** 2)
+
+        g = jax.jit(jax.grad(loss_fn))(x)
+        g_ref = jax.grad(lambda xx: jnp.sum(matvec(op, xx) ** 2))(x)
+        d_grad = _rel_l1(g, g_ref)
+    print(f"row-sharded COO SpMV parity: rel-L1 fwd={d_spmv:.3e} "
+          f"grad={d_grad:.3e}")
+    assert d_spmv <= 1e-5 and d_grad <= 1e-5, "sharded COO SpMV diverged"
+
+    print(f"dryrun ok: {n_replicas} replicas on {n_devices} devices "
+          f"(dense dopri5 + sparse COO, parity vs single-device passed)")
+
+
+def main(argv=None) -> int:
+    import os
+
+    argv = sys.argv[1:] if argv is None else argv
+    n = int(argv[0]) if argv else 8
+    # honour a CPU bootstrap request even though sitecustomize may have already
+    # registered the TPU plugin (tests/conftest.py does the same dance)
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    run_dryrun(n)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,7 +27,7 @@ def batched_init(init_fn: Callable, key, n_replicas: int):
     return jax.vmap(init_fn)(keys)
 
 
-def make_sharded_ndcn_train_step(mesh, op: DenseGraph, vt, x0, target, *,
+def make_sharded_ndcn_train_step(mesh, op, vt, x0, target, *,
                                  rtol=0.01, atol=0.001, method="dopri5",
                                  lr=0.01, weight_decay=1e-3, max_steps=64,
                                  hidden=20):
@@ -37,10 +37,14 @@ def make_sharded_ndcn_train_step(mesh, op: DenseGraph, vt, x0, target, *,
       init_fn(key, n_replicas) -> (params_B, opt_state_B) placed on the mesh
       step_fn(params_B, opt_state_B) -> (params_B, opt_state_B, losses_B)
 
-    Shardings: params/opt_state replica-sharded over 'data'; the operator
-    row-sharded over 'model'; x0/target replicated over 'data' and row-sharded
-    over 'model'. XLA inserts the all-gather of the hidden state that row-parallel
-    A·X needs.
+    ``op`` is any GraphOperator — a DenseGraph (rows sharded over 'model' by
+    place_problem_on_mesh) or a parallel.coo_shard.RowShardedCoo (shard_map
+    row-block SpMV). Shardings: params/opt_state replica-sharded over 'data';
+    x0/target row-sharded over 'model'. XLA inserts the all-gather of the hidden
+    state that row-parallel A·X needs.
+
+    ``mesh=None`` builds the identical step with no shardings at all — the
+    single-device reference the sharded run is parity-checked against.
     """
     opt = torch_adam(lr, weight_decay)
     in_dim = x0.shape[-1]
@@ -59,6 +63,13 @@ def make_sharded_ndcn_train_step(mesh, op: DenseGraph, vt, x0, target, *,
         params = jax.tree_util.tree_map(lambda a, u: a + u, params, updates)
         return params, opt_state, loss
 
+    if mesh is None:
+        def init_fn(key, n_replicas: int):
+            params = batched_init(init_one, key, n_replicas)
+            return params, jax.vmap(opt.init)(params)
+
+        return init_fn, jax.jit(jax.vmap(step_one))
+
     rep = mesh_lib.replica_sharding(mesh)
 
     def init_fn(key, n_replicas: int):
@@ -75,13 +86,18 @@ def make_sharded_ndcn_train_step(mesh, op: DenseGraph, vt, x0, target, *,
     return init_fn, step_fn
 
 
-def place_problem_on_mesh(mesh, op: DenseGraph, x0, target, vt):
+def place_problem_on_mesh(mesh, op, x0, target, vt):
     """Shard the shared problem data: operator rows and node-major arrays over
-    'model', time grid replicated."""
-    op_sh = mesh_lib.operator_sharding(mesh)
+    'model', time grid replicated. A CooGraph becomes a RowShardedCoo (row-block
+    shard_map SpMV); a DenseGraph is row-sharded for GSPMD."""
+    from ndcn_tpu.graph.sparse import CooGraph
     node_sh = mesh_lib.node_sharding(mesh)
     repl = mesh_lib.replicated(mesh)
-    op = DenseGraph(mat=jax.device_put(op.mat, op_sh))
+    if isinstance(op, DenseGraph):
+        op = DenseGraph(mat=jax.device_put(op.mat, mesh_lib.operator_sharding(mesh)))
+    elif isinstance(op, CooGraph):
+        from ndcn_tpu.parallel.coo_shard import shard_coo_rows
+        op = shard_coo_rows(op, mesh)
     x0 = jax.device_put(x0, node_sh)
     target = jax.device_put(target, jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(None, "model", None)))
