@@ -76,16 +76,26 @@ def _canonical_time(t):
 
 
 def _maybe_reverse(func, y0, t):
-    """Reverse-time handling (misc.py:184-187): integrate s = -t forward."""
-    if isinstance(t, jnp.ndarray) and not isinstance(t, np.ndarray):
-        try:
-            t_host = np.asarray(jax.device_get(t))
-        except Exception:  # traced: assume increasing
-            return func, t, False
-    else:
-        t_host = np.asarray(t)
-    if t_host.ndim != 1 or t_host.shape[0] < 2:
+    """Reverse-time handling (misc.py:184-187): integrate s = -t forward.
+
+    Concrete grids are validated on the host (strictly monotone, like the
+    reference's assert at misc.py:59-60). A traced grid (t passed through jit)
+    cannot be inspected, so the direction is handled *symbolically*: integrate
+    s = sign·t with the RHS scaled by sign — correct for either direction, at
+    the cost of one scalar multiply per RHS eval. Strict monotonicity of a
+    traced grid remains the caller's contract.
+    """
+    t = _canonical_time(t)
+    if t.ndim != 1 or t.shape[0] < 2:
         raise ValueError("t must be a 1-D grid with at least 2 points")
+    if isinstance(t, jax.core.Tracer):
+        base = func
+        sign = jnp.where(t[-1] >= t[0], jnp.ones((), t.dtype),
+                         -jnp.ones((), t.dtype))
+        scaled = (lambda s, y: jax.tree_util.tree_map(
+            lambda v: v * sign, base(sign * s, y)))
+        return scaled, sign * t, False
+    t_host = np.asarray(jax.device_get(t))
     if np.all(t_host[1:] < t_host[:-1]):
         base = func
         return (lambda s, y: jax.tree_util.tree_map(jnp.negative, base(-s, y))), -t, True
@@ -109,7 +119,6 @@ def odeint_with_stats(func: Callable, y0, t, rtol: float = 1e-7, atol: float = 1
     _check_options(method, options)
 
     func, t, _ = _maybe_reverse(func, y0, t)
-    t = _canonical_time(t)
 
     if method in _ADAPTIVE:
         ctrl = Controller(rtol=float(rtol), atol=float(atol),
@@ -153,7 +162,15 @@ def odeint_with_stats(func: Callable, y0, t, rtol: float = 1e-7, atol: float = 1
 
 def odeint(func: Callable, y0, t, rtol: float = 1e-7, atol: float = 1e-9,
            method: Optional[str] = None, options: Optional[Dict[str, Any]] = None):
-    """Solve dy/dt = func(t, y) over t; solution has a leading time axis."""
-    sol, _ = odeint_with_stats(func, y0, t, rtol=rtol, atol=atol, method=method,
-                               options=options)
-    return sol
+    """Solve dy/dt = func(t, y) over t; solution has a leading time axis.
+
+    Budget exhaustion (adaptive step count > max_steps) must be loud even
+    though this seam discards SolveStats: the trajectory is poisoned with NaN,
+    the compiled-program analogue of the reference's max_num_steps assert
+    (dopri5.py:89). Callers who want to branch on failure instead should use
+    ``odeint_with_stats`` and check ``stats.success``.
+    """
+    sol, stats = odeint_with_stats(func, y0, t, rtol=rtol, atol=atol,
+                                   method=method, options=options)
+    return jax.tree_util.tree_map(
+        lambda b: jnp.where(stats.success, b, jnp.nan), sol)

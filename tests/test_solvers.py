@@ -131,6 +131,52 @@ def test_max_steps_exhaustion_flags_failure():
     assert not bool(stats.success)
 
 
+def test_odeint_poisons_trajectory_on_exhaustion():
+    """The public seam must be loud: a stiff solve truncated by max_steps
+    returns NaN everywhere, never extrapolated garbage (the reference raises
+    on max_num_steps; silent wrong results are worse than either)."""
+    t = jnp.linspace(0.0, 2.0, 10)
+    y0 = jnp.ones((5,))
+    sol = odeint(lambda tt, y: -50.0 * y, y0, t, rtol=1e-7, atol=1e-9,
+                 method="dopri5", options={"max_steps": 8})
+    assert np.all(np.isnan(np.asarray(sol)))
+    # and an ample budget stays NaN-free
+    sol_ok = odeint(lambda tt, y: -50.0 * y, y0, t, rtol=1e-4, atol=1e-6,
+                    method="dopri5", options={"max_steps": 512})
+    assert np.all(np.isfinite(np.asarray(sol_ok)))
+
+
+def test_traced_decreasing_time_is_correct():
+    """A decreasing grid passed THROUGH jit (traced, so it cannot be host-
+    inspected) must still integrate in the right direction — the direction is
+    handled symbolically, not assumed increasing."""
+    t_dec = jnp.linspace(2.0, 0.0, 25)
+    y0 = jnp.array([np.exp(-2.0)], jnp.float32)
+
+    @jax.jit
+    def solve(tgrid):
+        return odeint(exp_decay, y0, tgrid, rtol=1e-6, atol=1e-8,
+                      method="dopri5")
+
+    sol = solve(t_dec)
+    expected = np.exp(-np.asarray(t_dec))[:, None]
+    np.testing.assert_allclose(np.asarray(sol), expected, atol=1e-5, rtol=0)
+    # increasing grids through the same traced path stay correct too
+    t_inc = jnp.linspace(0.0, 2.0, 25)
+    np.testing.assert_allclose(
+        np.asarray(solve(t_inc)),
+        float(y0[0]) * np.exp(-np.asarray(t_inc))[:, None], atol=1e-5, rtol=0)
+
+
+def test_decreasing_python_list_grid():
+    """A plain-list decreasing grid used to hit `-t` on an unconverted list."""
+    t = [2.0, 1.5, 1.0, 0.5, 0.0]
+    y0 = jnp.array([np.exp(-2.0)], jnp.float32)
+    sol = odeint(exp_decay, y0, t, rtol=1e-6, atol=1e-8, method="dopri5")
+    np.testing.assert_allclose(np.asarray(sol), np.exp(-np.asarray(t))[:, None],
+                               atol=1e-5, rtol=0)
+
+
 def test_fixed_grid_step_size_option():
     t = jnp.linspace(0.0, 2.0, 7)
     y0 = jnp.ones((2,))
