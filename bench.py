@@ -5,10 +5,14 @@ the irregular 80-point observation grid + backprop through the solver + L1 loss)
 of the NDCN model on the 400-node heat-grid config — BASELINE.md config #1, the
 hot loop of every dynamics experiment (reference heat_dynamics.py:313-334).
 
-Baseline: the same model/step in eager PyTorch on CPU with a clean-room
-Dormand-Prince 5(4) integrator written below (python stepping loop over tensor
-ops + autograd through solver internals — the reference's execution style and its
-default gradient path). vs_baseline = jax-on-current-device / torch-on-cpu.
+Headline metric (BASELINE.json): dopri5 RHS evals/sec = train steps/s x NFE.
+Also reported: the steady-state cora dgnn epoch wall-clock (showcase config).
+
+Baseline: the same model/step in eager PyTorch on CPU through the REFERENCE'S
+actual vendored torchdiffeq (imported from /root/reference at runtime), falling
+back to a clean-room Dormand-Prince 5(4) loop written below if the reference
+tree is absent. The JSON line records which baseline ran.
+vs_baseline = jax RHS evals/s / torch RHS evals/s.
 
 Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
 """
@@ -69,12 +73,12 @@ def bench_jax(om, t_train, x0, reps=200):
     def loss_fn(p):
         out, stats = ndcn_forward(p, op, vt, x0j, rtol=RTOL, atol=ATOL,
                                   method="dopri5", max_steps=12)
-        return jnp.mean(jnp.abs(out)), stats.nfe
+        return jnp.mean(jnp.abs(out)), (stats.nfe, stats.success)
 
     def train_step(p):
-        (loss, nfe), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
         p = jax.tree_util.tree_map(lambda a, g: a - 0.01 * g, p, grads)
-        return p, loss, nfe
+        return p, loss, aux
 
     CHUNK = 25
 
@@ -83,22 +87,88 @@ def bench_jax(om, t_train, x0, reps=200):
         # one dispatch per CHUNK steps: per-call host->device dispatch latency
         # (~1-2 ms through the axon tunnel) would otherwise dominate the metric
         def body(q, _):
-            q, loss, nfe = train_step(q)
-            return q, (loss, nfe)
-        p, (losses, nfes) = jax.lax.scan(body, p, None, length=CHUNK)
-        return p, losses[-1], nfes[-1]
+            q, loss, aux = train_step(q)
+            return q, (loss, aux)
+        p, (losses, (nfes, succ)) = jax.lax.scan(body, p, None, length=CHUNK)
+        return p, losses[-1], nfes[-1], jnp.all(succ)
 
-    p, loss, nfe = jax.block_until_ready(train_chunk(params))
+    p, loss, nfe, success = jax.block_until_ready(train_chunk(params))
+    # an insufficient max_steps budget would silently measure truncated solves
+    # while the torch baseline integrates to tolerance — fail loudly instead
+    assert bool(success), "warmup chunk exhausted the step budget; raise max_steps"
     nfe = int(nfe)
     log(f"[jax] nfe/solve={nfe}")
 
     n_chunks = max(1, reps // CHUNK)
     t0 = time.perf_counter()
     for _ in range(n_chunks):
-        p, loss, _ = train_chunk(p)
+        p, loss, _, _ = train_chunk(p)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     return n_chunks * CHUNK / dt, nfe
+
+
+# -------------------------------------------------- reference torchdiffeq side
+# The honest comparator: the reference's actual vendored solver stack imported
+# from /root/reference at runtime (never copied), same model, same training step.
+
+
+def _torch_model(torch, om, x0):
+    """Shared torch-side NDCN (encoder -> graph-ODE -> decoder), torch-init."""
+    a = torch.asarray(om)
+    x0t = torch.asarray(x0)
+    g = torch.Generator().manual_seed(0)
+
+    def lin(i, o):
+        bound = 1.0 / np.sqrt(i)
+        return (torch.empty(i, o).uniform_(-bound, bound, generator=g).requires_grad_(),
+                torch.empty(o).uniform_(-bound, bound, generator=g).requires_grad_())
+
+    w1, b1 = lin(1, HIDDEN)
+    w2, b2 = lin(HIDDEN, HIDDEN)
+    wo, bo = lin(HIDDEN, HIDDEN)
+    wd, bd = lin(HIDDEN, 1)
+    return a, x0t, [w1, b1, w2, b2, wo, bo, wd, bd]
+
+
+def bench_torch_reference(om, t_train, x0, reps=20):
+    """Train-step throughput of the REFERENCE'S vendored torchdiffeq (dopri5,
+    backprop through solver internals — its default gradient path)."""
+    sys.path.insert(0, "/root/reference")
+    import torch
+    import torchdiffeq as refode
+
+    a, x0t, params = _torch_model(torch, om, x0)
+    w1, b1, w2, b2, wo, bo, wd, bd = params
+    ts = torch.asarray(np.asarray(t_train))
+    nfe_counter = [0]
+
+    class OdeF(torch.nn.Module):
+        def forward(self, t, h):
+            nfe_counter[0] += 1
+            return torch.relu((a @ h) @ wo + bo)
+
+    odef = OdeF()
+
+    def train_step():
+        h = torch.tanh(x0t @ w1 + b1) @ w2 + b2
+        traj = refode.odeint(odef, h, ts, rtol=RTOL, atol=ATOL, method="dopri5")
+        loss = (traj @ wd + bd).abs().mean()
+        loss.backward()
+        for p in params:
+            with torch.no_grad():
+                p -= 0.01 * p.grad
+            p.grad = None
+        return loss
+
+    train_step()  # warm
+    nfe_counter[0] = 0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        train_step()
+    dt = time.perf_counter() - t0
+    log(f"[torch-reference] cpu nfe/solve={nfe_counter[0] // reps}")
+    return reps / dt, nfe_counter[0] // reps
 
 
 # ------------------------------------------------------------------ torch side
@@ -122,21 +192,9 @@ _DP_BHAT = [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
 def bench_torch(om, t_train, x0, reps=20):
     import torch
 
-    a = torch.asarray(om)
-    x0t = torch.asarray(x0)
+    a, x0t, params = _torch_model(torch, om, x0)
+    w1, b1, w2, b2, wo, bo, wd, bd = params
     ts = [float(v) for v in t_train]
-    g = torch.Generator().manual_seed(0)
-
-    def lin(i, o):
-        bound = 1.0 / np.sqrt(i)
-        return (torch.empty(i, o).uniform_(-bound, bound, generator=g).requires_grad_(),
-                torch.empty(o).uniform_(-bound, bound, generator=g).requires_grad_())
-
-    w1, b1 = lin(1, HIDDEN)
-    w2, b2 = lin(HIDDEN, HIDDEN)
-    wo, bo = lin(HIDDEN, HIDDEN)
-    wd, bd = lin(HIDDEN, 1)
-    params = [w1, b1, w2, b2, wo, bo, wd, bd]
     nfe_counter = [0]
 
     def rhs(t, h):
@@ -200,23 +258,110 @@ def bench_torch(om, t_train, x0, reps=20):
     return reps / dt, nfe_counter[0] // reps
 
 
+def bench_dgnn_epoch(n_epochs=12):
+    """Steady-state cora dgnn epoch wall-clock (train step + eval re-forward,
+    the reference's per-epoch protocol, dgnn.py:192-222) at the showcase config
+    (hidden 256, T=1.2, tick 16, dopri5 rtol=atol=0.1, no_control)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndcn_tpu.data import load_planetoid
+    from ndcn_tpu.graph.sparse import as_operator
+    from ndcn_tpu.models import init_ndcn, ndcn_forward
+    from ndcn_tpu.train.losses import cross_entropy
+    from ndcn_tpu.train.optim import make_sgd_step, torch_adam
+
+    data = load_planetoid("cora", alpha=0.0, data_dir="data")
+    op = as_operator(data.operator, sparse=False)
+    features = jnp.asarray(data.features)
+    labels = jnp.asarray(data.labels)
+    idx_train = jnp.asarray(data.idx_train)
+    in_dim = features.shape[1]
+    num_classes = int(data.labels.max()) + 1
+    vt = jnp.asarray(np.linspace(0, 1.2, 16), jnp.float32)
+
+    params = init_ndcn(jax.random.PRNGKey(0), in_dim, 256, num_classes,
+                       no_control=True, encoder_layers=1)
+
+    def objective(p, rng):
+        out, stats = ndcn_forward(p, op, vt, features, rtol=0.1, atol=0.1,
+                                  method="dopri5", terminal=True,
+                                  no_control=True, max_steps=16)
+        loss = cross_entropy(out[idx_train], labels[idx_train])
+        return jnp.where(stats.success, loss, jnp.nan), out
+
+    opt = torch_adam(0.01, 0.024)
+    opt_state = opt.init(params)
+    train_step = jax.jit(make_sgd_step(opt, objective), donate_argnums=(0, 1))
+
+    @jax.jit
+    def eval_logits(p):
+        out, _ = ndcn_forward(p, op, vt, features, rtol=0.1, atol=0.1,
+                              method="dopri5", terminal=True, no_control=True,
+                              max_steps=16)
+        return out
+
+    key = jax.random.PRNGKey(1)
+    log("[dgnn] compiling cora differential_gcn train step...")
+    params, opt_state, loss, _ = train_step(params, opt_state, key)
+    logits = jax.block_until_ready(eval_logits(params))
+    assert np.isfinite(float(loss)), "dgnn warmup loss not finite"
+    t0 = time.perf_counter()
+    for _ in range(n_epochs):
+        key, rng = jax.random.split(key)
+        params, opt_state, loss, _ = train_step(params, opt_state, rng)
+        logits = eval_logits(params)
+    jax.block_until_ready(logits)
+    epoch_s = (time.perf_counter() - t0) / n_epochs
+    return epoch_s
+
+
 def main():
     om, t_train, x0 = setup_problem()
     jax_steps_per_s, jax_nfe = bench_jax(om, t_train, x0)
     log(f"[jax] {jax_steps_per_s:.2f} train steps/s")
+    baseline = None
+    torch_steps_per_s = torch_nfe = None
     try:
-        torch_steps_per_s, torch_nfe = bench_torch(om, t_train, x0)
-        log(f"[torch] {torch_steps_per_s:.2f} train steps/s")
-        vs = jax_steps_per_s / torch_steps_per_s
+        torch_steps_per_s, torch_nfe = bench_torch_reference(om, t_train, x0)
+        baseline = "reference-torchdiffeq"
+        log(f"[torch-reference] {torch_steps_per_s:.2f} train steps/s")
     except Exception as e:
-        log(f"[torch] baseline unavailable: {e}")
+        log(f"[torch-reference] unavailable ({e}); using clean-room loop")
+        try:
+            torch_steps_per_s, torch_nfe = bench_torch(om, t_train, x0)
+            baseline = "clean-room-torch"
+            log(f"[torch] {torch_steps_per_s:.2f} train steps/s")
+        except Exception as e2:
+            log(f"[torch] baseline unavailable: {e2}")
+
+    jax_evals_per_s = jax_steps_per_s * jax_nfe
+    if torch_steps_per_s:
+        vs = jax_evals_per_s / (torch_steps_per_s * torch_nfe)
+    else:
         vs = float("nan")
 
+    try:
+        dgnn_epoch_s = bench_dgnn_epoch()
+        log(f"[dgnn] cora epoch {dgnn_epoch_s * 1e3:.1f} ms")
+    except Exception as e:
+        log(f"[dgnn] epoch bench unavailable: {e}")
+        dgnn_epoch_s = None
+
     print(json.dumps({
-        "metric": "ndcn dopri5 train steps/sec (heat-grid 400n, fwd+bwd through solver)",
-        "value": round(jax_steps_per_s, 2),
-        "unit": "steps/s",
+        "metric": "dopri5 RHS evals/sec (heat-grid 400n NDCN train step, "
+                  "fwd+bwd through solver)",
+        "value": round(jax_evals_per_s, 1),
+        "unit": "rhs_evals/s",
         "vs_baseline": round(vs, 2) if np.isfinite(vs) else None,
+        "train_steps_per_sec": round(jax_steps_per_s, 2),
+        "nfe_per_solve": jax_nfe,
+        "baseline": baseline,
+        "baseline_steps_per_sec": (round(torch_steps_per_s, 2)
+                                   if torch_steps_per_s else None),
+        "baseline_nfe_per_solve": torch_nfe,
+        "dgnn_cora_epoch_ms": (round(dgnn_epoch_s * 1e3, 1)
+                               if dgnn_epoch_s else None),
     }))
 
 

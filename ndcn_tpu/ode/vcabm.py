@@ -73,7 +73,8 @@ def _g_and_explicit_phi(prev_t, next_t, implicit_phi, k_max):
     return g, explicit_phi
 
 
-def _make_vcabm_machine(func, y0, t, rtol: float, atol: float, max_order: int):
+def _make_vcabm_machine(func, y0, t, rtol: float, atol: float, max_order: int,
+                        time_dtype=None):
     """Shared VCABM stepping machinery: returns (carry0, attempt, T).
 
     Reproduces the reference's control flow, including its predictor-advance quirk:
@@ -81,10 +82,18 @@ def _make_vcabm_machine(func, y0, t, rtol: float, atol: float, max_order: int):
     returned at observation times are the *predictor* ``p_next`` (adams.py:170 sets
     y_n = p_next and advance() returns y_n); the corrector only refines the error
     estimate and the divided differences.
+
+    ``time_dtype`` optionally widens the time/step-control arithmetic (the g/β
+    divided-difference recurrences are the precision-sensitive part) to match the
+    reference's float64 time scalars (solvers.py:28). float64 requires running
+    under ``jax.experimental.enable_x64()`` (CPU parity runs); state dtype is
+    unaffected.
     """
     max_order = int(max(_MIN_ORDER, min(max_order, _MAX_ORDER)))
     H = max_order + 1
     T = t.shape[0]
+    if time_dtype is not None:
+        t = t.astype(time_dtype)
     tdtype = t.dtype
     ctrl = Controller(rtol=rtol, atol=atol, order=0)  # order supplied per call
 
@@ -234,6 +243,11 @@ def _make_vcabm_machine(func, y0, t, rtol: float, atol: float, max_order: int):
         sol = tree_map(
             lambda buf, v: jnp.where(reached, buf.at[c["obs_i"]].set(v), buf),
             c["sol"], p_next)
+        # NFE accounting: the branch-free attempt always evaluates predictor AND
+        # corrector, so a rejected attempt counts 2 evals where the reference's
+        # early-exit counts 1 (adams.py:135-138) — reported NFE is an upper
+        # bound on the reference's under rejection-heavy solves (docs/PARITY.md
+        # row 5). The wasted eval is inherent to the branch-free design.
         return dict(
             c, st=st_new, sol=sol,
             obs_i=c["obs_i"] + reached.astype(jnp.int32),
@@ -246,9 +260,10 @@ def _make_vcabm_machine(func, y0, t, rtol: float, atol: float, max_order: int):
 
 
 def solve_vcabm(func, y0, t, rtol: float, atol: float, max_order: int = _MAX_ORDER,
-                max_steps: int = 1 << 16):
+                max_steps: int = 1 << 16, time_dtype=None):
     """Minimal-FLOP while_loop solve (non-differentiable)."""
-    carry0, attempt, T = _make_vcabm_machine(func, y0, t, rtol, atol, max_order)
+    carry0, attempt, T = _make_vcabm_machine(func, y0, t, rtol, atol, max_order,
+                                             time_dtype=time_dtype)
 
     def cond(c):
         return (c["obs_i"] < T) & ((c["nacc"] + c["nrej"]) < max_steps) & c["ok"]
@@ -261,13 +276,15 @@ def solve_vcabm(func, y0, t, rtol: float, atol: float, max_order: int = _MAX_ORD
 
 
 def solve_vcabm_scan(func, y0, t, rtol: float, atol: float,
-                     max_order: int = _MAX_ORDER, max_steps: int = 256):
+                     max_order: int = _MAX_ORDER, max_steps: int = 256,
+                     time_dtype=None):
     """Reverse-differentiable bounded solve: exactly ``max_steps`` attempts with
     cond-skipped iterations once all observation times are reached, each step
     rematerialized in the backward pass (the same strategy as adaptive.solve_scan;
     gradients flow through the step/order controller like the reference's
     backprop-through-solver default)."""
-    carry0, attempt, T = _make_vcabm_machine(func, y0, t, rtol, atol, max_order)
+    carry0, attempt, T = _make_vcabm_machine(func, y0, t, rtol, atol, max_order,
+                                             time_dtype=time_dtype)
 
     @jax.checkpoint
     def body_fn(c):

@@ -115,3 +115,63 @@ def test_grad_through_loss_on_full_trajectory():
     assert float(g) < 0.0
     g_at_sol = jax.grad(loss)(jnp.asarray(1.3))
     assert abs(float(g_at_sol)) < 1e-3
+
+
+# --------------------------------------------------------- reference grad parity
+
+
+def _load_grad_fixture():
+    import os
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures",
+                       "ndcn_grads_grid400.npz")
+    return dict(np.load(fix))
+
+
+def _grad_fixture_problem(f):
+    from ndcn_tpu.graph import generators, operators
+    from ndcn_tpu.graph.sparse import from_dense
+
+    adj = generators.build_network("grid", 400, seed=0)
+    op = from_dense(operators.normalized_laplacian(adj))
+    params = {
+        "enc1": {"w": jnp.asarray(f["enc1_w"].T), "b": jnp.asarray(f["enc1_b"])},
+        "enc2": {"w": jnp.asarray(f["enc2_w"].T), "b": jnp.asarray(f["enc2_b"])},
+        "wt": {"w": jnp.asarray(f["wt_w"].T), "b": jnp.asarray(f["wt_b"])},
+        "dec": {"w": jnp.asarray(f["dec_w"].T), "b": jnp.asarray(f["dec_b"])},
+    }
+    return op, params, jnp.asarray(f["x0"]), jnp.asarray(f["t"]), jnp.asarray(f["target"])
+
+
+def _rel_l1(a, b):
+    return float(np.abs(a - b).sum() / (np.abs(b).sum() + 1e-30))
+
+
+@pytest.mark.parametrize("mode", ["backprop", "adjoint"])
+def test_ndcn_gradient_parity_vs_reference(mode):
+    """Gradients of the flagship l1 training loss vs the reference's actual
+    loss.backward() through its vendored torchdiffeq at fixed weights
+    (heat_dynamics.py:317-333; fixture provenance tests/fixtures/README.md).
+    backprop = default path (autograd through solver internals) vs our bounded
+    differentiable scan; adjoint = --adjoint (adjoint.py:22-102) vs our
+    continuous-adjoint custom_vjp. SURVEY §4(c)."""
+    from ndcn_tpu.models import ndcn_forward
+
+    f = _load_grad_fixture()
+    op, params, x0, vt, target = _grad_fixture_problem(f)
+
+    def loss_fn(p):
+        out, _ = ndcn_forward(p, op, vt, x0, rtol=0.01, atol=0.001,
+                              method="dopri5", max_steps=64,
+                              adjoint=(mode == "adjoint"))
+        # F.l1_loss(pred.squeeze().t(), target): mean |(n,T) - (n,T)|
+        return jnp.mean(jnp.abs(out[..., 0].T - target))
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert abs(float(loss) - float(f[f"loss_{mode}"])) / abs(
+        float(f[f"loss_{mode}"])) < 1e-4
+
+    for name in ("enc1", "enc2", "wt", "dec"):
+        gw = np.asarray(grads[name]["w"]).T  # ours (in,out) -> torch (out,in)
+        gb = np.asarray(grads[name]["b"])
+        assert _rel_l1(gw, f[f"g_{name}_w_{mode}"]) < 1e-3, name
+        assert _rel_l1(gb, f[f"g_{name}_b_{mode}"]) < 1e-3, name

@@ -68,6 +68,12 @@ def main():
     sol = ode.odeint(Lin(), y0, t, rtol=1e-6, atol=1e-8, method="adams")
     fixtures["linear2d_adams"] = dict(t=t.numpy(), y0=y0.numpy(),
                                       a=a_mat.numpy(), sol=sol.numpy())
+    # tight tolerance: both solvers converge to truth (the 1e-6 fixture's mutual
+    # deviation is dominated by the reference's own ~2e-4 solution error, so
+    # 1e-4 agreement is only meaningful here; measured ref-vs-truth = 1.56e-5)
+    sol = ode.odeint(Lin(), y0, t, rtol=1e-8, atol=1e-10, method="adams")
+    fixtures["linear2d_adams_tight"] = dict(t=t.numpy(), y0=y0.numpy(),
+                                            a=a_mat.numpy(), sol=sol.numpy())
 
     # ---- 3. heat diffusion on the 400-node grid (flagship physics) ----------
     adj = generators.build_network("grid", 400, seed=0)
@@ -133,6 +139,80 @@ def main():
         enc2_w=enc2.weight.detach().numpy(), enc2_b=enc2.bias.detach().numpy(),
         wt_w=wt.weight.detach().numpy(), wt_b=wt.bias.detach().numpy(),
         dec_w=dec.weight.detach().numpy(), dec_b=dec.bias.detach().numpy())
+
+    # ---- 6. tsit5: document the reference's measured behavior ---------------
+    # The reference's tsit5 is broken, not merely quirky: its embedded error
+    # weights sum to 32/33 instead of 0 against b (torchdiffeq/_impl/tsit5.py:24-27),
+    # so the error estimate is dominated by the solution value itself. Measured
+    # on this 2-D linear system: rtol=1e-3/atol=1e-5 takes ~68 s (thousands of
+    # micro-steps) and STILL lands 1.5 relative error off the analytic solution
+    # at t=5 ([-0.127, -0.281] vs truth [0.245, -0.045]); any tighter tolerance
+    # exceeds a 120 s watchdog without completing. This fixture freezes that
+    # trajectory as evidence; tests assert OUR tsit5 against analytic truth
+    # instead (tests/test_parity.py), since reference-parity is not meaningful
+    # for an oracle that does not converge.
+    import time as _time
+
+    t = torch.linspace(0.0, 5.0, 50)
+    y0 = torch.tensor([[1.0, -0.5]])
+    t0 = _time.time()
+    sol = ode.odeint(Lin(), y0, t, rtol=1e-3, atol=1e-5, method="tsit5")
+    fixtures["linear2d_tsit5_reference_behavior"] = dict(
+        t=t.numpy(), y0=y0.numpy(), a=a_mat.numpy(), sol=sol.numpy(),
+        rtol=np.float64(1e-3), atol=np.float64(1e-5),
+        wall_seconds=np.float64(_time.time() - t0))
+
+    # ---- 7. gradient parity: reference loss.backward() THROUGH the solver ----
+    # The flagship training signal (heat_dynamics.py:317-333): NDCN forward over
+    # a time grid, l1 loss on (n, T) layout, gradients via (a) backprop through
+    # torchdiffeq internals (default path) and (b) odeint_adjoint (--adjoint).
+    import torch.nn.functional as F
+
+    torch.manual_seed(7)
+    g_enc1, g_enc2 = lin(1, hid), lin(hid, hid)
+    g_wt, g_dec = lin(hid, hid), lin(hid, 1)
+    t_grad = torch.linspace(0.0, 5.0, 20)
+    target = torch.rand(400, 20)  # (n, T) like true_y_train
+
+    class GradOdeF(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.wt = g_wt
+
+        def forward(self, t, h):
+            return torch.relu(self.wt(om_t @ h))
+
+    def run(adjoint):
+        for m in (g_enc1, g_enc2, g_wt, g_dec):
+            m.zero_grad()
+        odefunc = GradOdeF()
+        h0 = g_enc2(torch.tanh(g_enc1(x0)))
+        solve = ode.odeint_adjoint if adjoint else ode.odeint
+        traj = solve(odefunc, h0, t_grad, rtol=0.01, atol=0.001,
+                     method="dopri5")
+        out = g_dec(traj)
+        loss = F.l1_loss(out.squeeze().t(), target)
+        loss.backward()
+        grads = {}
+        for name, m in [("enc1", g_enc1), ("enc2", g_enc2), ("wt", g_wt),
+                        ("dec", g_dec)]:
+            grads[f"g_{name}_w"] = m.weight.grad.detach().numpy().copy()
+            grads[f"g_{name}_b"] = m.bias.grad.detach().numpy().copy()
+        return float(loss.detach()), grads
+
+    loss_bp, grads_bp = run(adjoint=False)
+    loss_adj, grads_adj = run(adjoint=True)
+    weights = {}
+    for name, m in [("enc1", g_enc1), ("enc2", g_enc2), ("wt", g_wt),
+                    ("dec", g_dec)]:
+        weights[f"{name}_w"] = m.weight.detach().numpy()
+        weights[f"{name}_b"] = m.bias.detach().numpy()
+    fixtures["ndcn_grads_grid400"] = dict(
+        t=t_grad.numpy(), x0=x0.numpy(), target=target.numpy(),
+        loss_backprop=np.float64(loss_bp), loss_adjoint=np.float64(loss_adj),
+        **weights,
+        **{k + "_backprop": v for k, v in grads_bp.items()},
+        **{k + "_adjoint": v for k, v in grads_adj.items()})
 
     for name, data in fixtures.items():
         np.savez_compressed(os.path.join(OUT, name + ".npz"), **data)
