@@ -245,22 +245,30 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                               "DeepGCN2", "DeepGCN4"):
             raise SystemExit(f"--batch_iters unsupported for {model_name}")
         r = args.iter
-        # rough accelerator-memory footprint for the ODE models: the scan emits
-        # per-step dense-output states (max_steps x 5 x n x hidden f32) per
-        # replica, roughly doubled by the backward (calibrated: 25 cora replicas
-        # at est 11 GB fit a 16 GB v5e). Guard only where it applies: ODE models
-        # on an accelerator backend — GCN-family replicas have no solver buffers,
-        # and host RAM is not the 16 GB HBM.
+        # accelerator-memory guard for the ODE models: the estimate is derived
+        # from the actual solve shapes (scan-emitted interp buffers + saved
+        # carry per step; see train/budget.scan_train_bytes, validated against
+        # compiled memory_analysis). Guard only where it applies: ODE models on
+        # an accelerator backend — GCN-family replicas have no solver buffers,
+        # and host RAM is not the HBM.
         if (model_name in ("differential_gcn", "odeGCN")
                 and jax.default_backend() != "cpu"):
-            per_replica = max_steps * 5 * n * args.hidden * 4 * 2
+            from ndcn_tpu.train.budget import (accelerator_memory_limit,
+                                               scan_train_bytes)
+            per_replica = scan_train_bytes(
+                args.method, max_steps,
+                jax.ShapeDtypeStruct((n, args.hidden), jnp.float32),
+                n_obs=args.time_tick)
             est = r * per_replica
-            if est > 13e9:
-                suggested = max(1, int(13e9 // per_replica))
+            budget = int(0.85 * accelerator_memory_limit())
+            if est > budget:
+                suggested = max(1, budget // per_replica)
                 raise SystemExit(
-                    f"--batch_iters with {r} replicas needs ~{est / 1e9:.0f} GB "
-                    f"of HBM for solver buffers; run batches of <= {suggested} "
-                    f"replicas instead (or reduce --hidden/--max_steps)")
+                    f"--batch_iters with {r} replicas needs ~{est / 1e9:.1f} GB "
+                    f"of HBM for solver buffers (~{per_replica / 1e6:.0f} MB "
+                    f"each, device budget {budget / 1e9:.1f} GB); run batches "
+                    f"of <= {suggested} replicas instead (or reduce "
+                    f"--hidden/--max_steps)")
         init_one = {
             "GCN": lambda k: gcn_zoo.init_gcn(k, in_dim, args.hidden, num_classes, nhl),
             "DeepGCN": lambda k: gcn_zoo.init_deep_gcn(k, in_dim, args.hidden,

@@ -156,3 +156,98 @@ def _bwd(res, g):
 
 
 bsr_spmm.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------- fused RHS path
+# Sparse counterpart of kernels/fused_rhs.py: the whole learned graph-ODE RHS
+# relu((A @ h) @ W + b) (reference neural_dynamics.py:20-39) with A block-sparse.
+# The accumulated (B, d) row-block of A·h stays in VMEM through the control
+# matmul + bias + relu epilogue — the propagated hidden state is never written
+# to HBM between the two matmuls.
+
+
+def _spmm_fused_kernel(ids_ref, cols_ref, blocks_ref, x_ref, w_ref, b_ref,
+                       out_ref):
+    import jax.experimental.pallas as pl
+
+    @pl.when(pl.program_id(1) == 0)
+    def _zero():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    hi = jax.lax.Precision.HIGHEST
+    out_ref[:, :] += jnp.dot(blocks_ref[0], x_ref[:, :],
+                             preferred_element_type=jnp.float32, precision=hi)
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _epilogue():
+        ahw = jnp.dot(out_ref[:, :], w_ref[:, :],
+                      preferred_element_type=jnp.float32, precision=hi)
+        out_ref[:, :] = jnp.maximum(ahw + b_ref[:, :], 0.0)
+
+
+def bsr_fused_rhs_raw(a: BsrMatrix, x: jnp.ndarray, w: jnp.ndarray,
+                      b: jnp.ndarray, block: int = BLOCK) -> jnp.ndarray:
+    """relu((A @ x) @ w + b) with A block-sparse, x (n, d), w (d, d), b (d,)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = x.shape
+    nrb = a.block_ids.shape[0]
+    max_slots = a.block_ids.shape[1]
+    ncb = -(-a.n_cols // block)
+
+    d_pad = max(128, -(-d // 128) * 128)
+    x_pad = jnp.zeros((ncb * block, d_pad), x.dtype).at[:n, :d].set(x)
+    w_pad = jnp.zeros((d_pad, d_pad), jnp.float32).at[:d, :d].set(w)
+    b_pad = jnp.zeros((1, d_pad), jnp.float32).at[0, :d].set(b)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nrb, max_slots),
+        in_specs=[
+            pl.BlockSpec((1, block, block),
+                         lambda i, j, ids, cols: (ids[i, j], 0, 0)),
+            pl.BlockSpec((block, d_pad),
+                         lambda i, j, ids, cols: (cols[i, j], 0)),
+            pl.BlockSpec((d_pad, d_pad), lambda i, j, ids, cols: (0, 0)),
+            pl.BlockSpec((1, d_pad), lambda i, j, ids, cols: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block, d_pad), lambda i, j, ids, cols: (i, 0)),
+    )
+
+    out = pl.pallas_call(
+        _spmm_fused_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nrb * block, d_pad), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(a.block_ids, a.block_cols, a.blocks, x_pad, w_pad, b_pad)
+    return out[: a.n_rows, :d].astype(x.dtype)
+
+
+@jax.custom_vjp
+def bsr_fused_rhs(a: BsrMatrix, at: BsrMatrix, x: jnp.ndarray, w: jnp.ndarray,
+                  b: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable fused sparse RHS. ``at`` packs Aᵀ for the x-cotangent;
+    A itself is a constant operator (zero cotangent), like every model here."""
+    return bsr_fused_rhs_raw(a, x, w, b)
+
+
+def _fused_fwd(a, at, x, w, b):
+    out = bsr_fused_rhs_raw(a, x, w, b)
+    return out, (a, at, x, w, out)
+
+
+def _fused_bwd(res, g):
+    a, at, x, w, out = res
+    hi = jax.lax.Precision.HIGHEST
+    g = g * (out > 0).astype(g.dtype)
+    ah = bsr_spmm_raw(a, x)  # recomputed: cheaper than storing it per RHS eval
+    dx = bsr_spmm_raw(at, jnp.matmul(g, w.T, preferred_element_type=jnp.float32,
+                                     precision=hi).astype(g.dtype))
+    dw = jnp.matmul(ah.T, g, preferred_element_type=jnp.float32,
+                    precision=hi).astype(w.dtype)
+    db = jnp.sum(g, axis=0).astype(g.dtype)
+    return None, None, dx, dw, db
+
+
+bsr_fused_rhs.defvjp(_fused_fwd, _fused_bwd)

@@ -35,22 +35,31 @@ def ode_func(params: Dict[str, Any], op: GraphOperator, t, h,
     """The learned RHS. ``drop_mask`` is a fixed inverted-dropout mask (see
     models/nn.dropout_mask for why it is not resampled per eval).
 
-    ``fused=True`` routes the full relu((A h) W + b) through the Pallas kernel
-    (dense operator, control on, no dropout): the propagated hidden state never
-    leaves VMEM between the two matmuls."""
+    ``fused=True`` routes the full relu((A h) W + b) through a Pallas kernel
+    (control on, no dropout; dense or BSR operator): the propagated hidden
+    state never leaves VMEM between the two matmuls."""
     if fused:
-        usable = (not no_graph and not no_control and drop_mask is None
-                  and hasattr(op, "mat"))
-        if not usable:
-            import warnings
+        from ndcn_tpu.graph.sparse import BsrGraph
 
-            warnings.warn("fused RHS requested but unusable (needs a dense "
-                          "operator, control on, dropout 0); falling back to "
-                          "the unfused path")
-        else:
+        dense_ok = (not no_graph and not no_control and drop_mask is None
+                    and hasattr(op, "mat"))
+        bsr_ok = (not no_graph and not no_control and drop_mask is None
+                  and isinstance(op, BsrGraph))
+        if dense_ok:
             from ndcn_tpu.kernels.fused_rhs import fused_ode_rhs
 
             return fused_ode_rhs(op.mat, h, params["wt"]["w"], params["wt"]["b"])
+        if bsr_ok:
+            from ndcn_tpu.kernels.bsr_spmm import bsr_fused_rhs
+
+            return bsr_fused_rhs(op.fwd, op.bwd, h, params["wt"]["w"],
+                                 params["wt"]["b"])
+        import warnings
+
+        # fires once per trace (this function runs under jit), not per call
+        warnings.warn("fused RHS requested but unusable (needs a dense or BSR "
+                      "operator, control on, dropout 0); tracing the unfused "
+                      "path instead")
     if not no_graph:
         h = matvec(op, h)
     if not no_control:

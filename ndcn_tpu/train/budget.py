@@ -14,6 +14,8 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 
 def to_cpu(tree):
@@ -22,6 +24,52 @@ def to_cpu(tree):
     explicitly, or the probe compiles on the TPU after all)."""
     cpu = jax.devices("cpu")[0]
     return jax.tree_util.tree_map(lambda l: jax.device_put(l, cpu), tree)
+
+
+def _tree_bytes(tree) -> int:
+    return sum(int(np.prod(l.shape)) * jnp.dtype(l.dtype).itemsize
+               for l in jax.tree_util.tree_leaves(tree))
+
+
+def scan_train_bytes(method: str, max_steps: int, y_state,
+                     n_obs: int = 0, max_order: int = 12) -> int:
+    """Accelerator-memory footprint of ONE differentiable bounded-scan solve
+    inside a train step, derived from the actual solve shapes (not calibrated
+    constants): per scan iteration the forward emits the dense-output interval
+    state (the method's interp leaves) and the rematerialized backward saves the
+    scan carry (y, f, interp). ``y_state`` is the ODE state as an array or
+    jax.ShapeDtypeStruct — e.g. (n, hidden) for NDCN.
+
+    Validated against jax.jit(...).lower().compile().memory_analysis() on CPU
+    (tests/test_data_and_experiments.py): estimate/measured ~= 0.9 for dopri5.
+    """
+    from ndcn_tpu.ode import adaptive
+
+    y_sds = jax.eval_shape(lambda x: x, y_state)
+    y_b = _tree_bytes(y_sds)
+    if method in ("dopri5", "tsit5"):
+        m = {"dopri5": adaptive.DOPRI5_METHOD,
+             "tsit5": adaptive.TSIT5_METHOD}[method]
+        interp_b = _tree_bytes(jax.eval_shape(m.interp_init, y_sds))
+        # emitted interp buffers + saved carry (y, f, interp) per iteration
+        return max_steps * (2 * interp_b + 2 * y_b)
+    if method == "adams":
+        # vcabm carry: prev_f + phi histories (H = max_order+1 each), y, and the
+        # in-carry solution buffer (n_obs states), saved per iteration
+        H = max_order + 1
+        return max_steps * ((2 * H + 1) * y_b + max(n_obs, 1) * y_b)
+    # fixed-grid methods: one pass over the grid, carry saved per grid point
+    return 2 * max(n_obs, 2) * y_b
+
+
+def accelerator_memory_limit(default: int = 16 << 30) -> int:
+    """The current default device's memory capacity in bytes (HBM on TPU),
+    from memory_stats when the backend reports it."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        return int(stats.get("bytes_limit", default))
+    except Exception:
+        return default
 
 
 def probe_step_budget(solve_nondiff: Callable[[], "object"],

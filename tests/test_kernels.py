@@ -118,3 +118,64 @@ def test_ndcn_forward_fused_matches_unfused():
     out_u, _ = ndcn_forward(params, op, vt, x0, method="rk4")
     out_f, _ = ndcn_forward(params, op, vt, x0, method="rk4", fused=True)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u), atol=1e-4)
+
+
+def test_bsr_fused_rhs_forward():
+    """Fused sparse RHS == relu((A @ x) @ w + b) elementwise."""
+    from ndcn_tpu.kernels.bsr_spmm import bsr_fused_rhs
+
+    a, rng = _rand_sparse(300, density=0.05, seed=3)
+    d = 40
+    x = rng.rand(300, d).astype(np.float32)
+    w = rng.randn(d, d).astype(np.float32) * 0.3
+    b = rng.randn(d).astype(np.float32) * 0.1
+    A, At = from_scipy_bsr(a), from_scipy_bsr(a.T.tocsr())
+    y = bsr_fused_rhs(A, At, jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
+    expected = np.maximum((a @ x) @ w + b, 0.0)
+    np.testing.assert_allclose(np.asarray(y), expected, atol=1e-4)
+
+
+def test_bsr_fused_rhs_gradients():
+    """VJP of the fused sparse RHS vs autodiff of the unfused expression."""
+    from ndcn_tpu.kernels.bsr_spmm import bsr_fused_rhs
+
+    a, rng = _rand_sparse(200, density=0.05, seed=4)
+    d = 24
+    x = jnp.asarray(rng.rand(200, d).astype(np.float32))
+    w = jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    A, At = from_scipy_bsr(a), from_scipy_bsr(a.T.tocsr())
+    a_dense = jnp.asarray(a.todense().astype(np.float32))
+
+    def fused(x_, w_, b_):
+        return jnp.sum(bsr_fused_rhs(A, At, x_, w_, b_) ** 2)
+
+    def ref(x_, w_, b_):
+        return jnp.sum(jnp.maximum((a_dense @ x_) @ w_ + b_, 0.0) ** 2)
+
+    gf = jax.grad(fused, argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(ref, argnums=(0, 1, 2))(x, w, b)
+    for got, want in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-3, rtol=1e-3)
+
+
+def test_ndcn_forward_fused_bsr_matches_unfused():
+    """ndcn_forward(fused=True) over a BsrGraph == the unfused sparse path."""
+    from ndcn_tpu.graph import generators, operators
+    from ndcn_tpu.models import init_ndcn, ndcn_forward
+
+    n = 150
+    adj = generators.build_network("random", n, seed=6)
+    om = operators.normalized_laplacian(adj)
+    op_bsr = as_operator(sp.csr_matrix(om), sparse=True, format="bsr")
+    x0 = jnp.asarray(np.random.RandomState(0).rand(n, 1), jnp.float32)
+    vt = jnp.asarray(np.linspace(0.0, 1.0, 5), jnp.float32)
+    params = init_ndcn(jax.random.PRNGKey(0), 1, 16, 1)
+
+    out_f, stats_f = ndcn_forward(params, op_bsr, vt, x0, method="rk4",
+                                  fused=True)
+    out_u, stats_u = ndcn_forward(params, op_bsr, vt, x0, method="rk4",
+                                  fused=False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               atol=1e-4, rtol=1e-4)
