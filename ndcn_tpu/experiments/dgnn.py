@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train --iter INDEPENDENT replicas simultaneously "
                         "(vmapped; differs from the reference's accumulating "
                         "--iter loop)")
+    p.add_argument("--mesh", action="store_true",
+                   help="with --batch_iters: shard replicas over the device "
+                        "mesh 'data' axis and node-major arrays (operator "
+                        "rows, features) over 'model' (multi-chip)")
     p.add_argument("--data_dir", type=str, default="data")
     from ndcn_tpu.utils.platform import add_platform_flag
     add_platform_flag(p)
@@ -290,6 +294,32 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         params_b = jax.vmap(init_one)(jax.random.split(init_key, r))
         opt_state_b = jax.vmap(opt.init)(params_b)
 
+        mesh = None
+        if args.mesh:
+            # multi-chip: replicas over 'data', node rows over 'model'. The
+            # shardings alone drive GSPMD; the training code below is unchanged.
+            from ndcn_tpu.graph.sparse import CooGraph, DenseGraph
+            from ndcn_tpu.parallel.mesh import (make_mesh, node_sharding,
+                                                operator_sharding,
+                                                replica_sharding)
+            if len(jax.devices()) < 2:
+                print("--mesh: single device visible; running unsharded")
+            else:
+                mesh = make_mesh()
+                print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+                rep = replica_sharding(mesh)
+                put = jax.device_put
+                params_b = jax.tree_util.tree_map(lambda l: put(l, rep), params_b)
+                opt_state_b = jax.tree_util.tree_map(lambda l: put(l, rep),
+                                                     opt_state_b)
+                if isinstance(op, DenseGraph):
+                    op = DenseGraph(mat=put(op.mat, operator_sharding(mesh)))
+                elif isinstance(op, CooGraph):
+                    from ndcn_tpu.parallel.coo_shard import shard_coo_rows
+                    op = shard_coo_rows(op, mesh)
+                # apply/sgd_step close over `op`/`features` late-bound, so the
+                # sharded arrays above are what the jitted step traces against
+                features = put(features, node_sharding(mesh))
         from functools import partial as _p
 
         @_p(jax.jit, donate_argnums=(0, 1))
