@@ -78,6 +78,9 @@ def build_parser(name: str) -> argparse.ArgumentParser:
                         "(lax.scan chunking; 0 = one dispatch per step). "
                         "Cuts per-step host latency ~5x on TPU; incompatible "
                         "with --ckpt_dir/--profile_dir mid-chunk granularity")
+    p.add_argument("--mesh", action="store_true",
+                   help="with --replicas: shard replicas over the device mesh "
+                        "'data' axis and node-major arrays over 'model'")
     p.add_argument("--replicas", type=int, default=1,
                    help="train this many independent replicas simultaneously "
                         "(vmapped; dumps one results file per replica)")
@@ -313,6 +316,34 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
             k, 1, args.hidden, 1, no_embed=flags["no_embed"],
             no_control=flags["no_control"]))(keys)
         opt_state_b = jax.vmap(opt.init)(params_b)
+
+        if args.mesh and len(jax.devices()) > 1:
+            # multi-chip: replicas over 'data', node rows over 'model' — the
+            # shardings drive GSPMD; the training closures below see the
+            # sharded arrays through late binding.
+            from ndcn_tpu.graph.sparse import CooGraph, DenseGraph
+            from ndcn_tpu.parallel.mesh import (make_mesh, node_sharding,
+                                                operator_sharding,
+                                                replica_sharding)
+            mesh = make_mesh()
+            print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+            rep, node = replica_sharding(mesh), node_sharding(mesh)
+            put = jax.device_put
+            params_b = jax.tree_util.tree_map(lambda l: put(l, rep), params_b)
+            opt_state_b = jax.tree_util.tree_map(lambda l: put(l, rep),
+                                                 opt_state_b)
+            if isinstance(op, DenseGraph):
+                op = DenseGraph(mat=put(op.mat, operator_sharding(mesh)))
+            elif isinstance(op, CooGraph):
+                from ndcn_tpu.parallel.coo_shard import shard_coo_rows
+                op = shard_coo_rows(op, mesh)
+            true_y0 = put(true_y0, node)
+            true_y_train = put(true_y_train, node)
+            true_y_test = put(true_y_test, node)
+            if true_y_test2 is not None:
+                true_y_test2 = put(true_y_test2, node)
+        elif args.mesh:
+            print("--mesh: single device visible; running unsharded")
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def step_b(pb, sb, rngs):

@@ -179,3 +179,17 @@ def test_dgnn_mesh_batched_replicas():
     accs = np.array([row[2] for row in summary["rows"]])
     assert accs.shape == (4,)
     assert np.all(np.isfinite(accs)) and np.all(accs > 0.05)
+
+
+def test_dynamics_mesh_replicas():
+    """dynamics driver --replicas --mesh end-to-end on the virtual mesh."""
+    from ndcn_tpu.experiments import dynamics
+
+    summary = dynamics.main("heat", "Heat", [
+        "--network", "grid", "--n", "64",
+        "--time_tick", "10", "--niters", "6", "--test_freq", "3",
+        "--replicas", "4", "--mesh", "--hidden", "8", "--method", "rk4",
+        "--platform", "cpu"])
+    assert summary["replicas"] == 4
+    assert np.isfinite(summary["final"]["rel_error"])
+    assert summary["final"]["rel_error"] < 1.0
