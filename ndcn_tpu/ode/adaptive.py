@@ -82,12 +82,14 @@ def _n_new_evals(tableau: Tableau) -> int:
     return len(tableau.alpha)  # f0 is reused from the previous step (FSAL)
 
 
-def _attempt_step(method: AdaptiveMethod, func, rk, ctrl: Controller, tdtype):
-    """One accept-or-reject adaptive step, branch-free.
+def _attempt_step_core(method: AdaptiveMethod, func, rk, ctrl: Controller,
+                       tdtype):
+    """One accept-or-reject adaptive step, branch-free, interp-free carry.
 
-    ``rk`` carries the reference's ``_RungeKuttaState`` fields (rk_common.py:8):
-    y/f at t1, the last accepted interval [t0, t1] with its interp state, and the
-    proposed next dt.
+    ``rk`` carries the reference's ``_RungeKuttaState`` fields (rk_common.py:8)
+    minus the interp state: y/f at t1, the last accepted interval ends, the
+    proposed next dt. Returns (updated base state, this attempt's interp state,
+    this attempt's interval ends, accept).
     """
     y1, f1, y1_error, k = runge_kutta_step(func, rk["y"], rk["f"], rk["t1"], rk["dt"],
                                            method.tableau)
@@ -95,15 +97,25 @@ def _attempt_step(method: AdaptiveMethod, func, rk, ctrl: Controller, tdtype):
     accept, max_ratio = accept_and_max_ratio(ratios)
     dt_next = optimal_step_size(rk["dt"], max_ratio, ctrl)
     new_interp = method.interp_make(rk["y"], y1, k, rk["dt"])
+    att_t0, att_t1 = rk["t1"], rk["t1"] + rk["dt"]
 
-    out = dict(
+    base = dict(
         y=tree_where(accept, y1, rk["y"]),
         f=tree_where(accept, f1, rk["f"]),
-        t0=jnp.where(accept, rk["t1"], rk["t0"]),
-        t1=jnp.where(accept, rk["t1"] + rk["dt"], rk["t1"]),
+        t0=jnp.where(accept, att_t0, rk["t0"]),
+        t1=jnp.where(accept, att_t1, rk["t1"]),
         dt=dt_next,
-        interp=tree_where(accept, new_interp, rk["interp"]),
     )
+    return base, new_interp, (att_t0, att_t1), accept
+
+
+def _attempt_step(method: AdaptiveMethod, func, rk, ctrl: Controller, tdtype):
+    """While-loop variant: the carry keeps the last ACCEPTED interp state (the
+    obs-consumption branch interpolates from it)."""
+    base = {k: v for k, v in rk.items() if k != "interp"}
+    base, new_interp, _, accept = _attempt_step_core(method, func, base, ctrl,
+                                                     tdtype)
+    out = dict(base, interp=tree_where(accept, new_interp, rk["interp"]))
     return out, accept
 
 
@@ -187,46 +199,57 @@ def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
     semantics mirror the reference's default path: the whole step/controller
     arithmetic is on the tape (heat_dynamics.py:333 backprops through the solver).
 
-    Each iteration emits its dense-output interval state; after the scan, all
-    observation times are evaluated by one vectorized searchsorted + gather over
-    the emitted buffers. Each iteration is rematerialized in the backward pass
-    (per-step residuals would otherwise dominate the reverse sweep), and the
-    emitted buffers keep the solution out of the scan carry (a carried solution
-    buffer costs a full copy per iteration through lax.cond).
+    Each iteration emits its dense-output interval state plus an accept flag;
+    after the scan, all observation times are evaluated by one vectorized
+    searchsorted + gather over the emitted buffers (a running max of accepted
+    end times makes rejected/frozen emissions unselectable). Each iteration is
+    rematerialized in the backward pass, and — unlike a carried interp state —
+    the emissions cost nothing per skipped iteration: the scan carry holds only
+    (y, f) state leaves, so cond-skips copy 2 leaves instead of 7 and the
+    backward saves 2 state leaves per step instead of 7.
     """
     tdtype = t.dtype
     t_final = t[-1]
     rk0, nfe0 = _init_rk_state(method, func, y0, t[0], ctrl, first_step, tdtype)
+    interp0 = rk0.pop("interp")  # scan carry is interp-free (see docstring)
     n_evals = _n_new_evals(method.tableau)
 
     carry0 = dict(rk=rk0, nfe=nfe0, nacc=jnp.asarray(0, jnp.int32),
                   nrej=jnp.asarray(0, jnp.int32), ok=jnp.asarray(True))
-
-    def step(c):
-        rk = c["rk"]
-        underflow = ~((rk["t1"] + rk["dt"]) > rk["t1"])
-        rk_new, accept = _attempt_step(method, func, rk, ctrl, tdtype)
-        return dict(c, rk=rk_new, nfe=c["nfe"] + n_evals,
-                    nacc=c["nacc"] + accept.astype(jnp.int32),
-                    nrej=c["nrej"] + (~accept).astype(jnp.int32),
-                    ok=c["ok"] & ~underflow)
+    interp_zero = tree_map(jnp.zeros_like, interp0)
 
     @jax.checkpoint
     def body_fn(c):
         done = (c["rk"]["t1"] >= t_final) | (~c["ok"])
-        c = jax.lax.cond(done, lambda x: x, step, c)
-        rk = c["rk"]
-        return c, dict(t0=rk["t0"], t1=rk["t1"], interp=rk["interp"])
+
+        def frozen(c):
+            t1 = c["rk"]["t1"]
+            return c, dict(acc=jnp.asarray(False), t0=t1, t1=t1,
+                           interp=interp_zero)
+
+        def live(c):
+            rk = c["rk"]
+            underflow = ~((rk["t1"] + rk["dt"]) > rk["t1"])
+            base, interp_att, (att_t0, att_t1), accept = _attempt_step_core(
+                method, func, rk, ctrl, tdtype)
+            c = dict(c, rk=base, nfe=c["nfe"] + n_evals,
+                     nacc=c["nacc"] + accept.astype(jnp.int32),
+                     nrej=c["nrej"] + (~accept).astype(jnp.int32),
+                     ok=c["ok"] & ~underflow)
+            return c, dict(acc=accept, t0=att_t0, t1=att_t1, interp=interp_att)
+
+        return jax.lax.cond(done, frozen, live, c)
 
     final, steps = jax.lax.scan(lambda c, _: body_fn(c), carry0, None,
                                 length=max_steps)
 
     # Vectorized dense-output evaluation of all observation times > t[0].
-    # The t1 trace is non-decreasing; for each obs the first index with
-    # t1 >= t_obs is an iteration holding the accepted interval covering it
-    # (rejected/frozen iterations re-emit the last accepted interval, so any
-    # index with equal t1 carries identical interp data).
-    idx = jnp.searchsorted(steps["t1"], t[1:], side="left")
+    # Accepted end times are increasing; the running max over accepted-only t1
+    # is non-decreasing with rejected/frozen slots pinned to -inf until the
+    # first accept, so searchsorted lands exactly on the accepting iteration
+    # whose interval covers each observation time.
+    t1_acc = jax.lax.cummax(jnp.where(steps["acc"], steps["t1"], -jnp.inf))
+    idx = jnp.searchsorted(t1_acc, t[1:], side="left")
     idx = jnp.clip(idx, 0, max_steps - 1)
     g = tree_map(lambda buf: buf[idx], steps)
     ys_obs = jax.vmap(method.interp_eval)(g["interp"], g["t0"], g["t1"], t[1:])

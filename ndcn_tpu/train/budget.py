@@ -36,9 +36,10 @@ def scan_train_bytes(method: str, max_steps: int, y_state,
     """Accelerator-memory footprint of ONE differentiable bounded-scan solve
     inside a train step, derived from the actual solve shapes (not calibrated
     constants): per scan iteration the forward emits the dense-output interval
-    state (the method's interp leaves) and the rematerialized backward saves the
-    scan carry (y, f, interp). ``y_state`` is the ODE state as an array or
-    jax.ShapeDtypeStruct — e.g. (n, hidden) for NDCN.
+    state (the method's interp leaves, whose cotangent buffer materializes again
+    in the backward) and the rematerialized backward saves the scan carry
+    (y, f). ``y_state`` is the ODE state as an array or jax.ShapeDtypeStruct —
+    e.g. (n, hidden) for NDCN.
 
     Validated against jax.jit(...).lower().compile().memory_analysis() on CPU
     (tests/test_data_and_experiments.py): estimate/measured ~= 0.9 for dopri5.
