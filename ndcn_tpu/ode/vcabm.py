@@ -114,7 +114,12 @@ def _make_vcabm_machine(func, y0, t, rtol: float, atol: float, max_order: int,
     )
     sol0 = tree_map(lambda y: jnp.zeros((T,) + y.shape, y.dtype).at[0].set(y), y0)
 
-    carry0 = dict(st=state0, sol=sol0, obs_i=jnp.asarray(1, jnp.int32),
+    # the (T, ...) solution buffer stays OUT of the stepping carry: each attempt
+    # emits (reached, obs index, predictor state) and the callers either fold
+    # the emission immediately (while path) or scatter all emissions once after
+    # the scan — a carried buffer would cost a full copy per cond-skipped
+    # iteration and a per-step save in the backward pass.
+    carry0 = dict(st=state0, obs_i=jnp.asarray(1, jnp.int32),
                   nfe=jnp.asarray(2, jnp.int32), nacc=jnp.asarray(0, jnp.int32),
                   nrej=jnp.asarray(0, jnp.int32), ok=jnp.asarray(True))
 
@@ -240,35 +245,43 @@ def _make_vcabm_machine(func, y0, t, rtol: float, atol: float, max_order: int,
         # returns y_n, which the accepted state sets to p_next, adams.py:100-103,170)
         underflow = ~(next_t > st["prev_t"][0])
         reached = accept & (next_t >= t[c["obs_i"]])
-        sol = tree_map(
-            lambda buf, v: jnp.where(reached, buf.at[c["obs_i"]].set(v), buf),
-            c["sol"], p_next)
         # NFE accounting: the branch-free attempt always evaluates predictor AND
         # corrector, so a rejected attempt counts 2 evals where the reference's
         # early-exit counts 1 (adams.py:135-138) — reported NFE is an upper
         # bound on the reference's under rejection-heavy solves (docs/PARITY.md
         # row 5). The wasted eval is inherent to the branch-free design.
-        return dict(
-            c, st=st_new, sol=sol,
+        c_new = dict(
+            c, st=st_new,
             obs_i=c["obs_i"] + reached.astype(jnp.int32),
             nfe=c["nfe"] + 2,
             nacc=c["nacc"] + accept.astype(jnp.int32),
             nrej=c["nrej"] + (~accept).astype(jnp.int32),
             ok=c["ok"] & ~underflow)
+        return c_new, dict(reached=reached, obs_i=c["obs_i"], y_obs=p_next)
 
-    return carry0, attempt, T
+    return carry0, attempt, T, sol0
 
 
 def solve_vcabm(func, y0, t, rtol: float, atol: float, max_order: int = _MAX_ORDER,
                 max_steps: int = 1 << 16, time_dtype=None):
     """Minimal-FLOP while_loop solve (non-differentiable)."""
-    carry0, attempt, T = _make_vcabm_machine(func, y0, t, rtol, atol, max_order,
-                                             time_dtype=time_dtype)
+    carry0, attempt, T, sol0 = _make_vcabm_machine(func, y0, t, rtol, atol,
+                                                   max_order,
+                                                   time_dtype=time_dtype)
+    carry0 = dict(carry0, sol=sol0)
 
     def cond(c):
         return (c["obs_i"] < T) & ((c["nacc"] + c["nrej"]) < max_steps) & c["ok"]
 
-    final = jax.lax.while_loop(cond, attempt, carry0)
+    def body(c):
+        c_new, emit = attempt({k: v for k, v in c.items() if k != "sol"})
+        sol = tree_map(
+            lambda buf, v: jnp.where(emit["reached"],
+                                     buf.at[emit["obs_i"]].set(v), buf),
+            c["sol"], emit["y_obs"])
+        return dict(c_new, sol=sol)
+
+    final = jax.lax.while_loop(cond, body, carry0)
     stats = SolveStats(nfe=final["nfe"], n_accepted=final["nacc"],
                        n_rejected=final["nrej"],
                        success=final["ok"] & (final["obs_i"] >= T))
@@ -282,18 +295,28 @@ def solve_vcabm_scan(func, y0, t, rtol: float, atol: float,
     cond-skipped iterations once all observation times are reached, each step
     rematerialized in the backward pass (the same strategy as adaptive.solve_scan;
     gradients flow through the step/order controller like the reference's
-    backprop-through-solver default)."""
-    carry0, attempt, T = _make_vcabm_machine(func, y0, t, rtol, atol, max_order,
-                                             time_dtype=time_dtype)
+    backprop-through-solver default). Observation states are emitted per step
+    and scattered into the solution buffer once after the scan, so the (T, ...)
+    buffer never rides in the carry."""
+    carry0, attempt, T, sol0 = _make_vcabm_machine(func, y0, t, rtol, atol,
+                                                   max_order,
+                                                   time_dtype=time_dtype)
+    emit_zero = dict(reached=jnp.asarray(False), obs_i=jnp.asarray(0, jnp.int32),
+                     y_obs=tree_map(jnp.zeros_like, carry0["st"]["y"]))
 
     @jax.checkpoint
     def body_fn(c):
         done = (c["obs_i"] >= T) | (~c["ok"])
-        return jax.lax.cond(done, lambda x: x, attempt, c)
+        return jax.lax.cond(done, lambda x: (x, emit_zero), attempt, c)
 
-    final, _ = jax.lax.scan(lambda c, _: (body_fn(c), None), carry0, None,
-                            length=max_steps)
+    final, emits = jax.lax.scan(lambda c, _: body_fn(c), carry0, None,
+                                length=max_steps)
+    # one scatter for all observation writes; un-reached emissions drop via an
+    # out-of-range index (mode="drop")
+    idx = jnp.where(emits["reached"], emits["obs_i"], T)
+    sol = tree_map(
+        lambda buf, v: buf.at[idx].set(v, mode="drop"), sol0, emits["y_obs"])
     stats = SolveStats(nfe=final["nfe"], n_accepted=final["nacc"],
                        n_rejected=final["nrej"],
                        success=final["ok"] & (final["obs_i"] >= T))
-    return final["sol"], stats
+    return sol, stats
