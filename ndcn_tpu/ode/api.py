@@ -48,8 +48,10 @@ _DEFAULT_MAX_STEPS_WHILE = 1 << 16
 # misc.py:79-81; a typo'd option silently ignored is a debugging trap)
 _COMMON_OPTIONS = {"differentiable", "max_steps"}
 _METHOD_OPTIONS = {
-    "dopri5": _COMMON_OPTIONS | {"safety", "ifactor", "dfactor", "first_step"},
-    "tsit5": _COMMON_OPTIONS | {"safety", "ifactor", "dfactor", "first_step"},
+    "dopri5": _COMMON_OPTIONS | {"safety", "ifactor", "dfactor", "first_step",
+                                 "time_dtype"},
+    "tsit5": _COMMON_OPTIONS | {"safety", "ifactor", "dfactor", "first_step",
+                                "time_dtype"},
     # fixed-grid/fixed-order methods accept (and ignore) the common options so
     # method-agnostic callers like ode_block can pass one options dict
     "euler": _COMMON_OPTIONS | {"step_size"},
@@ -121,6 +123,11 @@ def odeint_with_stats(func: Callable, y0, t, rtol: float = 1e-7, atol: float = 1
     func, t, _ = _maybe_reverse(func, y0, t)
 
     if method in _ADAPTIVE:
+        # time_dtype="float64" matches the reference's f64 time scalars inside
+        # adaptive solvers (solvers.py:28); needs jax x64 enabled (CPU parity
+        # runs). State dtype is unaffected — controller/step arithmetic widens.
+        if options.get("time_dtype") is not None:
+            t = t.astype(options["time_dtype"])
         ctrl = Controller(rtol=float(rtol), atol=float(atol),
                           safety=float(options.get("safety", 0.9)),
                           ifactor=float(options.get("ifactor", 10.0)),

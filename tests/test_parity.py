@@ -151,3 +151,16 @@ def test_ndcn_forward_parity():
                               rtol=0.01, atol=0.001, method="dopri5", max_steps=64)
     assert bool(stats.success)
     assert rel_l1(np.asarray(out), f["out"]) < 1e-4
+
+
+def test_dopri5_f64_time_option():
+    """options={'time_dtype': 'float64'} (the reference's f64 time, solvers.py:28)
+    keeps f32 state and stays within the 1e-4 parity band."""
+    f = load("linear2d_dopri5")
+    a = jnp.asarray(f["a"], jnp.float32)
+    with jax.enable_x64(True):
+        sol = odeint(lambda t, y: y @ a.T, jnp.asarray(f["y0"], jnp.float32),
+                     jnp.asarray(f["t"], jnp.float32), rtol=1e-7, atol=1e-9,
+                     method="dopri5", options={"time_dtype": "float64"})
+    assert sol.dtype == jnp.float32
+    assert rel_l1(np.asarray(sol), f["sol"]) < 1e-4
