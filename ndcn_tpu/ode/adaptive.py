@@ -49,7 +49,8 @@ class AdaptiveMethod:
     interp_init: Callable
     interp_make: Callable
     interp_eval: Callable
-    interp_eval_batch: Callable
+    interp_stack: Callable    # state pytree → (C, *shape)-stacked leaves
+    interp_weights: Callable  # (x, dt) of shape (O,) → (O, C) scalar weights
 
 
 DOPRI5_METHOD = AdaptiveMethod(
@@ -58,7 +59,8 @@ DOPRI5_METHOD = AdaptiveMethod(
     interp_init=interp_lib.dopri5_interp_init,
     interp_make=interp_lib.dopri5_interp_state,
     interp_eval=interp_lib.dopri5_interp_eval,
-    interp_eval_batch=interp_lib.dopri5_interp_eval_batch,
+    interp_stack=interp_lib.dopri5_interp_stack,
+    interp_weights=interp_lib.dopri5_interp_weights,
 )
 
 TSIT5_METHOD = AdaptiveMethod(
@@ -67,7 +69,8 @@ TSIT5_METHOD = AdaptiveMethod(
     interp_init=interp_lib.tsit5_interp_init,
     interp_make=interp_lib.tsit5_interp_state,
     interp_eval=interp_lib.tsit5_interp_eval,
-    interp_eval_batch=interp_lib.tsit5_interp_eval_batch,
+    interp_stack=interp_lib.tsit5_interp_stack,
+    interp_weights=interp_lib.tsit5_interp_weights,
 )
 
 
@@ -216,7 +219,7 @@ def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
 
     carry0 = dict(rk=rk0, nfe=nfe0, nacc=jnp.asarray(0, jnp.int32),
                   nrej=jnp.asarray(0, jnp.int32), ok=jnp.asarray(True))
-    interp_zero = tree_map(jnp.zeros_like, interp0)
+    interp_zero = method.interp_stack(tree_map(jnp.zeros_like, interp0))
 
     @jax.checkpoint
     def body_fn(c):
@@ -236,7 +239,8 @@ def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
                      nacc=c["nacc"] + accept.astype(jnp.int32),
                      nrej=c["nrej"] + (~accept).astype(jnp.int32),
                      ok=c["ok"] & ~underflow)
-            return c, dict(acc=accept, t0=att_t0, t1=att_t1, interp=interp_att)
+            return c, dict(acc=accept, t0=att_t0, t1=att_t1,
+                           interp=method.interp_stack(interp_att))
 
         return jax.lax.cond(done, frozen, live, c)
 
@@ -247,12 +251,30 @@ def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
     # Accepted end times are increasing; the running max over accepted-only t1
     # is non-decreasing with rejected/frozen slots pinned to -inf until the
     # first accept, so searchsorted lands exactly on the accepting iteration
-    # whose interval covers each observation time.
+    # whose interval covers each observation time. Only the interval-end
+    # SCALARS are gathered; because both dense outputs are linear in their
+    # stacked coefficients, all O observation values come from one
+    # (O, S·C) × (S·C, ·) matmul per leaf — gathering the (S, C, *shape)
+    # coefficient buffers themselves costs gigabytes of layout-churning copies
+    # at batch (its VJP is a scatter-add), while the matmul's VJP is a matmul.
     t1_acc = jax.lax.cummax(jnp.where(steps["acc"], steps["t1"], -jnp.inf))
     idx = jnp.searchsorted(t1_acc, t[1:], side="left")
     idx = jnp.clip(idx, 0, max_steps - 1)
-    g = tree_map(lambda buf: buf[idx], steps)
-    ys_obs = jax.vmap(method.interp_eval)(g["interp"], g["t0"], g["t1"], t[1:])
+    t0g = steps["t0"][idx]
+    dtg = steps["t1"][idx] - t0g
+    x = (t[1:] - t0g) / jnp.where(dtg == 0, 1.0, dtg)
+    w = method.interp_weights(x, dtg)                      # (O, C)
+    sel = (idx[:, None] == jnp.arange(max_steps)[None, :])  # (O, S) one-hot
+    w_full = (sel[:, :, None] * w[:, None, :]).reshape(t.shape[0] - 1, -1)
+
+    def eval_leaf(buf):  # (S, C, *shape)
+        flat = buf.reshape(buf.shape[0] * buf.shape[1], -1)
+        out = jnp.matmul(w_full.astype(buf.dtype), flat,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=buf.dtype)
+        return out.reshape((w_full.shape[0],) + buf.shape[2:])
+
+    ys_obs = tree_map(eval_leaf, steps["interp"])
     sol = tree_map(lambda y, ys: jnp.concatenate([y[None], ys], axis=0), y0, ys_obs)
 
     stats = SolveStats(nfe=final["nfe"], n_accepted=final["nacc"],

@@ -92,41 +92,50 @@ def tsit5_interp_eval(state, t0, t1, t):
     return tree_map(per_leaf, state["y0"], state["k"])
 
 
-def dopri5_interp_eval_batch(state, t0, t1, ts):
-    """Evaluate the quartic fit at a vector of times (T,) → leaves (T, *shape).
+# ------------------------------------------------ matmul-form dense output
+# Both dense outputs are LINEAR in their coefficient leaves with scalar weights
+# depending only on (x, dt). The scan path exploits that: emitted coefficients
+# stack to (C, *shape) per leaf, and evaluating O observation times against S
+# emitted steps is ONE (O, S·C) × (S·C, ·) matmul — a gather of scalars plus an
+# MXU pass, instead of materializing (O, C, *shape) gathered coefficient copies
+# (measured 5 GB of layout-churning copies per 128-replica train step).
 
-    Coefficients are computed once per interval; the polynomial is evaluated for
-    all observation times in one broadcast (the differentiable scan path does this
-    per accepted step with masking — see adaptive.solve_scan)."""
-    dt = t1 - t0
-    x = (ts - t0) / jnp.where(dt == 0, 1.0, dt)  # (T,)
 
-    def per_leaf(y0, y1, ym, f0, f1):
-        dty = dt.astype(y0.dtype)
-        xl = x.astype(y0.dtype).reshape((-1,) + (1,) * y0.ndim)
-        a = -2.0 * dty * f0 + 2.0 * dty * f1 - 8.0 * y0 - 8.0 * y1 + 16.0 * ym
-        b = 5.0 * dty * f0 - 3.0 * dty * f1 + 18.0 * y0 + 14.0 * y1 - 32.0 * ym
-        c = -4.0 * dty * f0 + dty * f1 - 11.0 * y0 - 5.0 * y1 + 16.0 * ym
-        d = dty * f0
-        e = y0
-        return (((a * xl + b) * xl + c) * xl + d) * xl + e
-
-    return tree_map(per_leaf, state["y0"], state["y1"], state["y_mid"],
+def dopri5_interp_stack(state):
+    """Stack the quartic-fit sources to a (5, *shape) leaf each."""
+    return tree_map(lambda a, b, c, d, e: jnp.stack([a, b, c, d, e]),
+                    state["y0"], state["y1"], state["y_mid"],
                     state["f0"], state["f1"])
 
 
-def tsit5_interp_eval_batch(state, t0, t1, ts):
-    """Vectorized tsit5 dense output over a time vector (T,) → (T, *shape)."""
-    dt = t1 - t0
-    x = (ts - t0) / jnp.where(dt == 0, 1.0, dt)  # (T,)
-    b = _tsit5_b_coeffs(x)  # (7, T)
+def dopri5_interp_weights(x, dt):
+    """(O,) x, dt → (O, 5) weights w s.t. y(t) = Σ_c w_c · stack_c.
 
-    def per_leaf(y0, k):
-        bl = b.astype(y0.dtype)
-        contrib = jnp.tensordot(bl.T, k, axes=1)  # (T, *shape)
-        return y0[None] + dt.astype(y0.dtype) * contrib
+    Expansion of the Horner quartic in dopri5_interp_eval by source:
+    checked at x=0 → y0 and x=1 → y1.
+    """
+    x2 = x * x
+    x3 = x2 * x
+    x4 = x3 * x
+    w_y0 = -8.0 * x4 + 18.0 * x3 - 11.0 * x2 + 1.0
+    w_y1 = -8.0 * x4 + 14.0 * x3 - 5.0 * x2
+    w_ym = 16.0 * x4 - 32.0 * x3 + 16.0 * x2
+    w_f0 = dt * (-2.0 * x4 + 5.0 * x3 - 4.0 * x2 + x)
+    w_f1 = dt * (2.0 * x4 - 3.0 * x3 + x2)
+    return jnp.stack([w_y0, w_y1, w_ym, w_f0, w_f1], axis=-1)
 
-    return tree_map(per_leaf, state["y0"], state["k"])
+
+def tsit5_interp_stack(state):
+    """Stack y0 and the 7 stages to an (8, *shape) leaf each."""
+    return tree_map(lambda y0, k: jnp.concatenate([y0[None], k], axis=0),
+                    state["y0"], state["k"])
+
+
+def tsit5_interp_weights(x, dt):
+    """(O,) x, dt → (O, 8): [1, dt·b_1(x), …, dt·b_7(x)]."""
+    b = _tsit5_b_coeffs(x)  # (7, O)
+    ones = jnp.ones_like(x)[None]
+    return jnp.concatenate([ones, dt[None] * b], axis=0).T
 
 
 def linear_interp(t0, t1, y0, y1, t):
