@@ -305,7 +305,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
             if len(jax.devices()) < 2:
                 print("--mesh: single device visible; running unsharded")
             else:
-                mesh = make_mesh()
+                mesh = make_mesh(data_divides=r)
                 print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
                 rep = replica_sharding(mesh)
                 put = jax.device_put

@@ -325,7 +325,7 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
             from ndcn_tpu.parallel.mesh import (make_mesh, node_sharding,
                                                 operator_sharding,
                                                 replica_sharding)
-            mesh = make_mesh()
+            mesh = make_mesh(data_divides=r)
             print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
             rep, node = replica_sharding(mesh), node_sharding(mesh)
             put = jax.device_put

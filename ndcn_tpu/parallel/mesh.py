@@ -25,18 +25,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axis_names: Sequence[str] = ("data", "model")) -> Mesh:
+              axis_names: Sequence[str] = ("data", "model"),
+              data_divides: Optional[int] = None) -> Mesh:
     """A 2-D mesh over the first n devices; the data axis gets the larger factor
-    (model = largest divisor of n that is <= sqrt(n), of any parity)."""
+    (model = largest divisor of n that is <= sqrt(n), of any parity).
+
+    ``data_divides`` constrains the data axis to divide that value (a replica
+    count): a (B, ...) batch sharded P('data') requires data | B, so callers
+    sweeping B replicas pass B here and the factorization adapts (e.g. 8 devices
+    with 2 replicas → data=2, model=4 instead of the default 4×2).
+    """
     devices = jax.devices()
     n = len(devices) if n_devices is None else n_devices
     devices = np.asarray(devices[:n])
-    model = 1
-    for cand in range(1, int(np.sqrt(n)) + 1):
-        if n % cand == 0:
-            model = cand
-    data = n // model
-    return Mesh(devices.reshape(data, model), axis_names=tuple(axis_names))
+    if data_divides is not None:
+        # replicas are embarrassingly parallel — maximize the data axis among
+        # factorizations whose data size divides the replica count
+        data = max(c for c in range(1, n + 1)
+                   if n % c == 0 and data_divides % c == 0)
+    else:
+        model = 1
+        for cand in range(1, int(np.sqrt(n)) + 1):
+            if n % cand == 0:
+                model = cand
+        data = n // model
+    return Mesh(devices.reshape(data, n // data), axis_names=tuple(axis_names))
 
 
 def replica_sharding(mesh: Mesh) -> NamedSharding:

@@ -222,3 +222,18 @@ def test_sharded_adjoint_training(mesh):
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_dgnn_mesh_sparse_coo_replicas():
+    """dgnn --batch_iters --mesh --sparse: the shard_map row-block COO operator
+    under vmapped replica training, through the real driver."""
+    from ndcn_tpu.experiments import dgnn
+
+    summary = dgnn.main([
+        "--dataset", "cora", "--model", "differential_gcn", "--batch_iters",
+        "--mesh", "--sparse", "--sparse_format", "coo", "--iter", "2",
+        "--epochs", "2", "--hidden", "8", "--T", "1.2", "--time_tick", "4",
+        "--no_control", "--alpha", "0", "--dropout", "0", "--method", "euler",
+        "--platform", "cpu"])
+    accs = np.array([row[2] for row in summary["rows"]])
+    assert accs.shape == (2,) and np.all(np.isfinite(accs))
