@@ -12,7 +12,8 @@ Baseline: the same model/step in eager PyTorch on CPU through the REFERENCE'S
 actual vendored torchdiffeq (imported from /root/reference at runtime), falling
 back to a clean-room Dormand-Prince 5(4) loop written below if the reference
 tree is absent. The JSON line records which baseline ran.
-vs_baseline = jax RHS evals/s / torch RHS evals/s.
+vs_baseline = end-to-end train steps/s ratio (NOT evals/s — that would reward
+rejected/init evals as speedup; per-solve NFE for both sides is in the JSON).
 
 Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
 """
@@ -337,7 +338,10 @@ def main():
 
     jax_evals_per_s = jax_steps_per_s * jax_nfe
     if torch_steps_per_s:
-        vs = jax_evals_per_s / (torch_steps_per_s * torch_nfe)
+        # ratio END-TO-END train steps, not evals: an evals/s ratio would
+        # reward extra evals (rejections, the Hairer-init eval) as if they
+        # were speedup — jax_nfe 26 vs torch 20 would inflate it 1.3x
+        vs = jax_steps_per_s / torch_steps_per_s
     else:
         vs = float("nan")
 

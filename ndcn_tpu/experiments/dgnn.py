@@ -249,12 +249,21 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                               "DeepGCN2", "DeepGCN4"):
             raise SystemExit(f"--batch_iters unsupported for {model_name}")
         r = args.iter
+        mesh = None
+        if args.mesh:
+            if len(jax.devices()) < 2:
+                print("--mesh: single device visible; running unsharded")
+            else:
+                from ndcn_tpu.parallel.mesh import make_mesh
+                mesh = make_mesh(data_divides=r, model_divides=n)
+                print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
         # accelerator-memory guard for the ODE models: the estimate is derived
         # from the actual solve shapes (scan-emitted interp buffers + saved
         # carry per step; see train/budget.scan_train_bytes, validated against
         # compiled memory_analysis). Guard only where it applies: ODE models on
         # an accelerator backend — GCN-family replicas have no solver buffers,
-        # and host RAM is not the HBM.
+        # and host RAM is not the HBM. With --mesh, replicas spread over the
+        # 'data' axis, so the per-DEVICE load is est / data_size.
         if (model_name in ("differential_gcn", "odeGCN")
                 and jax.default_backend() != "cpu"):
             from ndcn_tpu.train.budget import (accelerator_memory_limit,
@@ -263,16 +272,18 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                 args.method, max_steps,
                 jax.ShapeDtypeStruct((n, args.hidden), jnp.float32),
                 n_obs=args.time_tick)
-            est = r * per_replica
+            data_size = int(mesh.shape["data"]) if mesh is not None else 1
+            est = r * per_replica // data_size
             budget = int(0.85 * accelerator_memory_limit())
             if est > budget:
-                suggested = max(1, budget // per_replica)
+                suggested = max(1, data_size * (budget // per_replica))
                 raise SystemExit(
                     f"--batch_iters with {r} replicas needs ~{est / 1e9:.1f} GB "
-                    f"of HBM for solver buffers (~{per_replica / 1e6:.0f} MB "
-                    f"each, device budget {budget / 1e9:.1f} GB); run batches "
-                    f"of <= {suggested} replicas instead (or reduce "
-                    f"--hidden/--max_steps)")
+                    f"of HBM per device for solver buffers "
+                    f"(~{per_replica / 1e6:.0f} MB each over {data_size} "
+                    f"data-parallel device(s), budget {budget / 1e9:.1f} GB); "
+                    f"run batches of <= {suggested} replicas instead (or "
+                    f"reduce --hidden/--max_steps)")
         init_one = {
             "GCN": lambda k: gcn_zoo.init_gcn(k, in_dim, args.hidden, num_classes, nhl),
             "DeepGCN": lambda k: gcn_zoo.init_deep_gcn(k, in_dim, args.hidden,
@@ -294,32 +305,15 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         params_b = jax.vmap(init_one)(jax.random.split(init_key, r))
         opt_state_b = jax.vmap(opt.init)(params_b)
 
-        mesh = None
-        if args.mesh:
+        if mesh is not None:
             # multi-chip: replicas over 'data', node rows over 'model'. The
-            # shardings alone drive GSPMD; the training code below is unchanged.
-            from ndcn_tpu.graph.sparse import CooGraph, DenseGraph
-            from ndcn_tpu.parallel.mesh import (make_mesh, node_sharding,
-                                                operator_sharding,
-                                                replica_sharding)
-            if len(jax.devices()) < 2:
-                print("--mesh: single device visible; running unsharded")
-            else:
-                mesh = make_mesh(data_divides=r)
-                print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
-                rep = replica_sharding(mesh)
-                put = jax.device_put
-                params_b = jax.tree_util.tree_map(lambda l: put(l, rep), params_b)
-                opt_state_b = jax.tree_util.tree_map(lambda l: put(l, rep),
-                                                     opt_state_b)
-                if isinstance(op, DenseGraph):
-                    op = DenseGraph(mat=put(op.mat, operator_sharding(mesh)))
-                elif isinstance(op, CooGraph):
-                    from ndcn_tpu.parallel.coo_shard import shard_coo_rows
-                    op = shard_coo_rows(op, mesh)
-                # apply/sgd_step close over `op`/`features` late-bound, so the
-                # sharded arrays above are what the jitted step traces against
-                features = put(features, node_sharding(mesh))
+            # shardings alone drive GSPMD; the training code below is unchanged
+            # (apply/sgd_step close over `op`/`features` late-bound, so the
+            # sharded arrays are what the jitted step traces against).
+            from ndcn_tpu.parallel.sweep import shard_replica_problem
+            params_b, opt_state_b, op, shards = shard_replica_problem(
+                mesh, params_b, opt_state_b, op, {"features": features})
+            features = shards["features"]
         from functools import partial as _p
 
         @_p(jax.jit, donate_argnums=(0, 1))
@@ -364,6 +358,9 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                 "acc_min": float(accs.min()), "acc_max": float(accs.max())}
 
     # -------------------------------------------------------------- training
+    if args.mesh:
+        print("--mesh applies to --batch_iters replica sweeps only; "
+              "training the single model unsharded")
     fout = None
     fname = None
     if args.dump:

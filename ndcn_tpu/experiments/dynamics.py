@@ -321,27 +321,20 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
             # multi-chip: replicas over 'data', node rows over 'model' — the
             # shardings drive GSPMD; the training closures below see the
             # sharded arrays through late binding.
-            from ndcn_tpu.graph.sparse import CooGraph, DenseGraph
-            from ndcn_tpu.parallel.mesh import (make_mesh, node_sharding,
-                                                operator_sharding,
-                                                replica_sharding)
-            mesh = make_mesh(data_divides=r)
+            from ndcn_tpu.parallel.mesh import make_mesh
+            from ndcn_tpu.parallel.sweep import shard_replica_problem
+            mesh = make_mesh(data_divides=r, model_divides=n)
             print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
-            rep, node = replica_sharding(mesh), node_sharding(mesh)
-            put = jax.device_put
-            params_b = jax.tree_util.tree_map(lambda l: put(l, rep), params_b)
-            opt_state_b = jax.tree_util.tree_map(lambda l: put(l, rep),
-                                                 opt_state_b)
-            if isinstance(op, DenseGraph):
-                op = DenseGraph(mat=put(op.mat, operator_sharding(mesh)))
-            elif isinstance(op, CooGraph):
-                from ndcn_tpu.parallel.coo_shard import shard_coo_rows
-                op = shard_coo_rows(op, mesh)
-            true_y0 = put(true_y0, node)
-            true_y_train = put(true_y_train, node)
-            true_y_test = put(true_y_test, node)
+            node_arrays = {"true_y0": true_y0, "true_y_train": true_y_train,
+                           "true_y_test": true_y_test}
             if true_y_test2 is not None:
-                true_y_test2 = put(true_y_test2, node)
+                node_arrays["true_y_test2"] = true_y_test2
+            params_b, opt_state_b, op, shards = shard_replica_problem(
+                mesh, params_b, opt_state_b, op, node_arrays)
+            true_y0 = shards["true_y0"]
+            true_y_train = shards["true_y_train"]
+            true_y_test = shards["true_y_test"]
+            true_y_test2 = shards.get("true_y_test2", true_y_test2)
         elif args.mesh:
             print("--mesh: single device visible; running unsharded")
 
@@ -394,6 +387,9 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
             "replicas": r, "total_time": t_total,
         }
 
+    if args.mesh:
+        print("--mesh applies to --replicas sweeps only; "
+              "training the single model unsharded")
     results = results_lib.new_results_dict(vars(args))
     results["true_y"].append(np.asarray(true_y))
     results["nfe_train"] = []

@@ -34,6 +34,12 @@ def _rel_l1(a, b) -> float:
 
 def run_dryrun(n_devices: int) -> None:
     import jax
+
+    # the 1e-5 sharded-vs-unsharded parity asserts need full-f32 matmuls: on a
+    # real TPU the default precision truncates inputs to bf16, and reduction-
+    # order differences between the sharded and unsharded programs would then
+    # exceed the bound spuriously (CPU virtual meshes are exact either way)
+    jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
 
     from ndcn_tpu.graph import generators, operators

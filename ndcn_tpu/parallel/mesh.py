@@ -26,30 +26,45 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("data", "model"),
-              data_divides: Optional[int] = None) -> Mesh:
+              data_divides: Optional[int] = None,
+              model_divides: Optional[int] = None) -> Mesh:
     """A 2-D mesh over the first n devices; the data axis gets the larger factor
     (model = largest divisor of n that is <= sqrt(n), of any parity).
 
-    ``data_divides`` constrains the data axis to divide that value (a replica
-    count): a (B, ...) batch sharded P('data') requires data | B, so callers
-    sweeping B replicas pass B here and the factorization adapts (e.g. 8 devices
-    with 2 replicas → data=2, model=4 instead of the default 4×2).
+    Sharding a global array axis requires the mesh axis size to divide it:
+    - ``data_divides``: the replica count — a (B, ...) batch sharded P('data')
+      needs data | B (8 devices × 2 replicas → data=2, model=4, not 4×2).
+    - ``model_divides``: the node count — P('model')-sharded operators/states
+      need model | n_nodes (dense operators are placed unpadded).
+    Among admissible factorizations the device count, then the data axis, is
+    maximized (replicas are embarrassingly parallel). ``data=1, model=1``
+    always satisfies both, so when the constraints rule out every full-device
+    factorization the mesh SHRINKS to the largest admissible device count
+    (e.g. 1 replica × 2708 nodes × 8 devices → a 1×4 mesh on 4 devices, since
+    8 ∤ 2708).
     """
     devices = jax.devices()
     n = len(devices) if n_devices is None else n_devices
     devices = np.asarray(devices[:n])
-    if data_divides is not None:
-        # replicas are embarrassingly parallel — maximize the data axis among
-        # factorizations whose data size divides the replica count
-        data = max(c for c in range(1, n + 1)
-                   if n % c == 0 and data_divides % c == 0)
+    if data_divides is not None or model_divides is not None:
+        best = (1, 1)
+        for data in range(1, n + 1):
+            if data_divides is not None and data_divides % data != 0:
+                continue
+            for model in range(1, n // data + 1):
+                if model_divides is not None and model_divides % model != 0:
+                    continue
+                if (data * model, data) > (best[0] * best[1], best[0]):
+                    best = (data, model)
+        data, model = best
     else:
         model = 1
         for cand in range(1, int(np.sqrt(n)) + 1):
             if n % cand == 0:
                 model = cand
         data = n // model
-    return Mesh(devices.reshape(data, n // data), axis_names=tuple(axis_names))
+    return Mesh(devices[: data * model].reshape(data, model),
+                axis_names=tuple(axis_names))
 
 
 def replica_sharding(mesh: Mesh) -> NamedSharding:

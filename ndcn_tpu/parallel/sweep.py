@@ -86,18 +86,52 @@ def make_sharded_ndcn_train_step(mesh, op, vt, x0, target, *,
     return init_fn, step_fn
 
 
+def shard_operator(mesh, op):
+    """Shard a graph operator over the mesh's 'model' (node-row) axis: dense
+    rows via GSPMD, COO via the shard_map row-block layout. Other layouts stay
+    replicated (ELL/BSR have no mesh placement yet) with a notice. Dense
+    placement requires model | n_nodes — pass model_divides=n to make_mesh."""
+    from ndcn_tpu.graph.sparse import CooGraph
+    model = int(mesh.shape["model"])
+    if isinstance(op, DenseGraph):
+        if op.n_nodes % model != 0:
+            raise ValueError(
+                f"dense operator with {op.n_nodes} nodes cannot row-shard over "
+                f"a model axis of {model}; build the mesh with "
+                f"make_mesh(model_divides={op.n_nodes})")
+        return DenseGraph(mat=jax.device_put(op.mat,
+                                             mesh_lib.operator_sharding(mesh)))
+    if isinstance(op, CooGraph):
+        from ndcn_tpu.parallel.coo_shard import shard_coo_rows
+        return shard_coo_rows(op, mesh)
+    print(f"mesh: {type(op).__name__} operator has no 'model'-axis placement; "
+          f"leaving it replicated")
+    return op
+
+
+def shard_replica_problem(mesh, params_b, opt_state_b, op, node_arrays):
+    """Shared --mesh placement for replica sweeps: the (B, ...) params/opt
+    state shard over 'data', the operator and every (n, ...) entry of
+    ``node_arrays`` (a dict) over 'model'. Training closures that late-bind
+    these names see the sharded arrays; GSPMD/shard_map insert the collectives.
+    """
+    rep = mesh_lib.replica_sharding(mesh)
+    node = mesh_lib.node_sharding(mesh)
+    params_b = jax.tree_util.tree_map(lambda l: jax.device_put(l, rep), params_b)
+    opt_state_b = jax.tree_util.tree_map(lambda l: jax.device_put(l, rep),
+                                         opt_state_b)
+    op = shard_operator(mesh, op)
+    node_arrays = {k: jax.device_put(v, node) for k, v in node_arrays.items()}
+    return params_b, opt_state_b, op, node_arrays
+
+
 def place_problem_on_mesh(mesh, op, x0, target, vt):
     """Shard the shared problem data: operator rows and node-major arrays over
     'model', time grid replicated. A CooGraph becomes a RowShardedCoo (row-block
     shard_map SpMV); a DenseGraph is row-sharded for GSPMD."""
-    from ndcn_tpu.graph.sparse import CooGraph
     node_sh = mesh_lib.node_sharding(mesh)
     repl = mesh_lib.replicated(mesh)
-    if isinstance(op, DenseGraph):
-        op = DenseGraph(mat=jax.device_put(op.mat, mesh_lib.operator_sharding(mesh)))
-    elif isinstance(op, CooGraph):
-        from ndcn_tpu.parallel.coo_shard import shard_coo_rows
-        op = shard_coo_rows(op, mesh)
+    op = shard_operator(mesh, op)
     x0 = jax.device_put(x0, node_sh)
     target = jax.device_put(target, jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(None, "model", None)))

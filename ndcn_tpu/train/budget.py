@@ -55,10 +55,12 @@ def scan_train_bytes(method: str, max_steps: int, y_state,
         # emitted interp buffers + saved carry (y, f, interp) per iteration
         return max_steps * (2 * interp_b + 2 * y_b)
     if method == "adams":
-        # vcabm carry: prev_f + phi histories (H = max_order+1 each), y, and the
-        # in-carry solution buffer (n_obs states), saved per iteration
+        # vcabm carry: prev_f + phi histories (H = max_order+1 each) + y,
+        # saved per iteration, plus the per-step observation emission and its
+        # backward cotangent (the solution buffer itself is scattered once
+        # after the scan — it no longer rides in the carry)
         H = max_order + 1
-        return max_steps * ((2 * H + 1) * y_b + max(n_obs, 1) * y_b)
+        return max_steps * (2 * H + 3) * y_b
     # fixed-grid methods: one pass over the grid, carry saved per grid point
     return 2 * max(n_obs, 2) * y_b
 

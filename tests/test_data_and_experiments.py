@@ -211,7 +211,7 @@ def test_hbm_guard_fires_for_oversized_batch(monkeypatch):
     from ndcn_tpu.experiments import dgnn
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    with pytest.raises(SystemExit, match="GB of HBM for solver buffers"):
+    with pytest.raises(SystemExit, match="GB of HBM per device for solver"):
         dgnn.main(["--dataset", "cora", "--model", "differential_gcn",
                    "--batch_iters", "--iter", "4096", "--epochs", "1",
                    "--hidden", "256", "--T", "1.2", "--time_tick", "16",
