@@ -237,3 +237,21 @@ def test_dgnn_mesh_sparse_coo_replicas():
         "--platform", "cpu"])
     accs = np.array([row[2] for row in summary["rows"]])
     assert accs.shape == (2,) and np.all(np.isfinite(accs))
+
+
+def test_make_mesh_constraints():
+    """Factorization respects data|replicas and model|nodes, shrinking the
+    device count when no full-device split satisfies both."""
+    m = make_mesh(8, data_divides=2)           # 2 replicas
+    assert m.devices.shape == (2, 4)
+    m = make_mesh(8, data_divides=25, model_divides=2708)  # cora sweep
+    assert m.devices.shape[0] in (1, 5) or m.devices.size <= 8
+    assert 25 % m.devices.shape[0] == 0 and 2708 % m.devices.shape[1] == 0
+    m = make_mesh(8, data_divides=1, model_divides=2708)   # 8 does not divide
+    assert m.devices.shape == (1, 4)                       # shrinks to 4 chips
+    m = make_mesh(8, data_divides=8)
+    assert m.devices.shape == (8, 1)
+    m = make_mesh(8, data_divides=3, model_divides=7)      # 7 of 8 devices
+    assert m.devices.shape == (1, 7)
+    m = make_mesh(8, data_divides=3, model_divides=11)     # best is 3 devices
+    assert m.devices.shape == (3, 1)
