@@ -59,7 +59,9 @@ def test_fused_graph_rhs():
     y = fused_graph_rhs(jnp.asarray(a), jnp.asarray(h), jnp.asarray(w),
                         jnp.asarray(b))
     ref = np.maximum((a @ h) @ w + b, 0)
-    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+    # rtol matters: outputs reach ~300 and the kernel's f32 accumulation order
+    # differs from numpy's, so abs deviations up to ~1e-3 are expected
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4, rtol=1e-4)
 
 
 def test_fused_graph_rhs_unaligned():
@@ -72,7 +74,7 @@ def test_fused_graph_rhs_unaligned():
     y = fused_graph_rhs(jnp.asarray(a), jnp.asarray(h), jnp.asarray(w),
                         jnp.asarray(b))
     ref = np.maximum((a @ h) @ w + b, 0)
-    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4, rtol=1e-4)
 
 
 def test_fused_ode_rhs_gradients():
