@@ -55,6 +55,21 @@ def setup_problem():
 # -------------------------------------------------------------------- jax side
 
 
+def _snug_budget(n_accepted, n_rejected):
+    """Scan budget for a PROBED solve: 2x the measured attempts (min +2 slack).
+
+    The bounded-scan cost is linear in the budget even for completed solves
+    (frozen iterations still copy the carry), so steady-state throughput wants
+    the budget snug. Exhaustion is loud, never silent: the solvers flag
+    success=False and every timed section below asserts it afterwards. The
+    experiment drivers keep the conservative probe_step_budget sizing instead —
+    there the solve changes as training moves the params, and a mid-run NaN
+    costs more than frozen iterations do.
+    """
+    attempts = int(n_accepted) + int(n_rejected)
+    return attempts + max(attempts, 2)
+
+
 def bench_jax(om, t_train, x0, reps=200):
     from ndcn_tpu.utils.platform import enable_compile_cache
 
@@ -71,9 +86,16 @@ def bench_jax(om, t_train, x0, reps=200):
     x0j = jnp.asarray(x0)
     params = init_ndcn(jax.random.PRNGKey(0), 1, HIDDEN, 1)
 
+    _, probe_stats = ndcn_forward(params, op, vt, x0j, rtol=RTOL, atol=ATOL,
+                                  method="dopri5", max_steps=1 << 14,
+                                  nondiff=True)
+    max_steps = _snug_budget(probe_stats.n_accepted, probe_stats.n_rejected)
+    log(f"[jax] probed attempts={int(probe_stats.n_accepted) + int(probe_stats.n_rejected)}"
+        f" -> max_steps={max_steps}")
+
     def loss_fn(p):
         out, stats = ndcn_forward(p, op, vt, x0j, rtol=RTOL, atol=ATOL,
-                                  method="dopri5", max_steps=12)
+                                  method="dopri5", max_steps=max_steps)
         return jnp.mean(jnp.abs(out)), (stats.nfe, stats.success)
 
     def train_step(p):
@@ -101,11 +123,15 @@ def bench_jax(om, t_train, x0, reps=200):
     log(f"[jax] nfe/solve={nfe}")
 
     n_chunks = max(1, reps // CHUNK)
+    succs = []
     t0 = time.perf_counter()
     for _ in range(n_chunks):
-        p, loss, _, _ = train_chunk(p)
+        p, loss, _, s = train_chunk(p)
+        succs.append(s)  # async device bools; checked after the clock stops
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
+    assert all(bool(s) for s in succs), \
+        "a timed chunk exhausted the snug step budget; the measurement is void"
     return n_chunks * CHUNK / dt, nfe
 
 
@@ -284,10 +310,19 @@ def bench_dgnn_epoch(n_epochs=12):
     params = init_ndcn(jax.random.PRNGKey(0), in_dim, 256, num_classes,
                        no_control=True, encoder_layers=1)
 
+    _, probe_stats = ndcn_forward(params, op, vt, features, rtol=0.1, atol=0.1,
+                                  method="dopri5", terminal=True,
+                                  no_control=True, max_steps=1 << 14,
+                                  nondiff=True)
+    max_steps = _snug_budget(probe_stats.n_accepted, probe_stats.n_rejected)
+    log(f"[dgnn] probed attempts="
+        f"{int(probe_stats.n_accepted) + int(probe_stats.n_rejected)}"
+        f" -> max_steps={max_steps}")
+
     def objective(p, rng):
         out, stats = ndcn_forward(p, op, vt, features, rtol=0.1, atol=0.1,
                                   method="dopri5", terminal=True,
-                                  no_control=True, max_steps=16)
+                                  no_control=True, max_steps=max_steps)
         loss = cross_entropy(out[idx_train], labels[idx_train])
         return jnp.where(stats.success, loss, jnp.nan), out
 
@@ -297,23 +332,28 @@ def bench_dgnn_epoch(n_epochs=12):
 
     @jax.jit
     def eval_logits(p):
-        out, _ = ndcn_forward(p, op, vt, features, rtol=0.1, atol=0.1,
-                              method="dopri5", terminal=True, no_control=True,
-                              max_steps=16)
-        return out
+        # inference path: minimal-FLOP while_loop, no scan-budget waste
+        out, stats = ndcn_forward(p, op, vt, features, rtol=0.1, atol=0.1,
+                                  method="dopri5", terminal=True,
+                                  no_control=True, max_steps=max_steps,
+                                  nondiff=True)
+        return out, stats.success
 
     key = jax.random.PRNGKey(1)
     log("[dgnn] compiling cora differential_gcn train step...")
     params, opt_state, loss, _ = train_step(params, opt_state, key)
-    logits = jax.block_until_ready(eval_logits(params))
-    assert np.isfinite(float(loss)), "dgnn warmup loss not finite"
+    logits, succ = jax.block_until_ready(eval_logits(params))
+    assert np.isfinite(float(loss)) and bool(succ), "dgnn warmup failed"
     t0 = time.perf_counter()
     for _ in range(n_epochs):
         key, rng = jax.random.split(key)
         params, opt_state, loss, _ = train_step(params, opt_state, rng)
-        logits = eval_logits(params)
+        logits, succ = eval_logits(params)
     jax.block_until_ready(logits)
     epoch_s = (time.perf_counter() - t0) / n_epochs
+    # NaN-poisoned loss (budget exhaustion) or failed eval voids the timing
+    assert np.isfinite(float(loss)) and bool(succ), \
+        "dgnn timed epochs exhausted the snug step budget; measurement void"
     return epoch_s
 
 
