@@ -118,6 +118,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     model_name = args.model
     nhl = args.nHiddenLayers
     vt = jnp.asarray(np.linspace(0, args.T, args.time_tick), jnp.float32)
+    budget_is_auto, make_apply, max_steps = False, None, 0
 
     if model_name == "GCN":
         params = gcn_zoo.init_gcn(init_key, in_dim, args.hidden, num_classes, nhl)
@@ -174,6 +175,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
             no_control = args.no_control
 
         max_steps = args.max_steps
+        budget_is_auto = False
         if max_steps <= 0 and args.method in ("dopri5", "tsit5"):
             from ndcn_tpu.train.budget import probe_step_budget, to_cpu
 
@@ -187,40 +189,55 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                     nondiff=True)
                 return stats
 
-            max_steps = probe_step_budget(probe)
+            if args.batch_iters:
+                # a vmapped sweep cannot roll back one replica: size generously
+                max_steps = probe_step_budget(probe)
+            else:
+                # snug budget: the epoch loop below recovers from exhaustion
+                # by rollback + budget doubling (train/elastic.py)
+                max_steps = probe_step_budget(probe, floor=8, headroom=2.5,
+                                              slack=4, quantum=4)
+                budget_is_auto = True
             print(f"auto step budget: max_steps={max_steps}")
         elif max_steps <= 0:
             max_steps = 64
 
-        def apply(p, rng, deterministic):
-            out, stats = ndcn_forward(
-                p, op, vt_model, features, rtol=args.rtol, atol=args.atol,
-                method=args.method, terminal=True, no_control=no_control,
-                dropout=0.0 if deterministic else args.dropout, rng=rng,
-                max_steps=max_steps)
-            ok = stats.success if stats is not None else None
-            return out, ok
+        def make_apply(ms):
+            def apply(p, rng, deterministic):
+                out, stats = ndcn_forward(
+                    p, op, vt_model, features, rtol=args.rtol, atol=args.atol,
+                    method=args.method, terminal=True, no_control=no_control,
+                    dropout=0.0 if deterministic else args.dropout, rng=rng,
+                    max_steps=ms)
+                ok = stats.success if stats is not None else None
+                return out, ok
+            return apply
+
+        apply = make_apply(max_steps)
     else:
         raise ValueError(f"unknown model {model_name}")
 
     opt = torch_adam(args.lr, args.weight_decay)
     opt_state = opt.init(params)
 
-    def train_objective(q, rng):
-        logits, ok = apply(q, rng, deterministic=False)
-        loss = cross_entropy(logits[idx_train], labels[idx_train])
-        if ok is not None:
-            loss = jnp.where(ok, loss, jnp.nan)  # blown budget must be loud
-        return loss, logits
-
     from functools import partial as _partial
 
-    sgd_step = make_sgd_step(opt, train_objective)
-    train_step = _partial(jax.jit, donate_argnums=(0, 1))(sgd_step)
+    def build_fns(a):
+        """(sgd_step, train_step, eval_logits) over one `apply` closure —
+        rebuilt (recompiled) when elastic recovery grows the step budget."""
+        def train_objective(q, rng):
+            logits, ok = a(q, rng, deterministic=False)
+            loss = cross_entropy(logits[idx_train], labels[idx_train])
+            if ok is not None:
+                loss = jnp.where(ok, loss, jnp.nan)  # blown budget must be loud
+            return loss, logits
 
-    @jax.jit
-    def eval_logits(p):
-        return apply(p, None, deterministic=True)[0]
+        sgd_step = make_sgd_step(opt, train_objective)
+        train_step = _partial(jax.jit, donate_argnums=(0, 1))(sgd_step)
+        eval_logits = jax.jit(lambda p: a(p, None, deterministic=True)[0])
+        return sgd_step, train_step, eval_logits
+
+    sgd_step, train_step, eval_logits = build_fns(apply)
 
     def metrics(logits, idx):
         return (float(cross_entropy(logits[idx], labels[idx])),
@@ -380,27 +397,71 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
               "acc_val: {:.4f}".format(st[4]),
               "time: {:.4f}s".format(dt))
 
+    # Elastic step-budget recovery (auto ODE budgets only; train/elastic.py):
+    # exhaustion poisons loss_train to NaN; detection is one epoch LATE (the
+    # stats fetch is pipelined), so snapshot candidates are device-copied
+    # BEFORE the step donates the state and promoted only once the preceding
+    # epoch's loss is verified finite — a finite loss at epoch e-1 certifies
+    # the state ENTERING epoch e, which is exactly what the candidate holds.
+    from ndcn_tpu.train.elastic import ElasticBudget, device_copy
+    elastic = ElasticBudget(max_steps, enabled=budget_is_auto)
+    snap_freq = 10
+
     rows = []
     for it in range(args.iter):
         t_start = time.time()
         pending = None  # (epoch, device stats, wall time) — printed one epoch late
-        for epoch in range(args.epochs):
-            t_epoch = time.time()
-            key, rng = jax.random.split(key)
-            params, opt_state, loss_train, train_logits = train_step(
-                params, opt_state, rng)
-            if args.fastmode:
-                logits = train_logits
-            else:
-                logits = eval_logits(params)
-            st_dev = epoch_stats(logits, loss_train)
-            # fetch the PREVIOUS epoch's stats now: its transfer overlapped with
-            # this epoch's compute, hiding the ~30 ms tunnel round trip
+        cand = None     # (epoch, key, state copy) awaiting validation
+        elastic.snapshot(0, key, (params, opt_state))
+        epoch = 0
+        while True:
+            while epoch < args.epochs:
+                t_epoch = time.time()
+                if elastic.enabled and epoch % snap_freq == 0:
+                    # async device copy; promoted below once validated
+                    cand = (epoch, key, device_copy((params, opt_state)))
+                key, rng = jax.random.split(key)
+                params, opt_state, loss_train, train_logits = train_step(
+                    params, opt_state, rng)
+                if args.fastmode:
+                    logits = train_logits
+                else:
+                    logits = eval_logits(params)
+                st_dev = epoch_stats(logits, loss_train)
+                # fetch the PREVIOUS epoch's stats now: its transfer overlapped
+                # with this epoch's compute, hiding the ~30 ms tunnel round trip
+                if pending is not None:
+                    st_np = np.asarray(pending[1])
+                    if elastic.exhausted(st_np[0]):
+                        prev = epoch
+                        epoch, key, (params, opt_state) = elastic.rollback()
+                        print(f"[elastic] step budget exhausted near epoch "
+                              f"{prev}; rolled back to epoch {epoch} with "
+                              f"max_steps={elastic.max_steps}", flush=True)
+                        apply_new = make_apply(elastic.max_steps)
+                        sgd_step, train_step, eval_logits = build_fns(apply_new)
+                        pending = cand = None
+                        continue
+                    print_epoch(it, pending[0], st_np, pending[2])
+                if cand is not None:
+                    elastic.snapshot(*cand)
+                    cand = None
+                pending = (epoch, st_dev, time.time() - t_epoch)
+                epoch += 1
             if pending is not None:
-                print_epoch(it, pending[0], np.asarray(pending[1]), pending[2])
-            pending = (epoch, st_dev, time.time() - t_epoch)
-        if pending is not None:
-            print_epoch(it, pending[0], np.asarray(pending[1]), pending[2])
+                st_np = np.asarray(pending[1])
+                if elastic.exhausted(st_np[0]):
+                    prev = epoch
+                    epoch, key, (params, opt_state) = elastic.rollback()
+                    print(f"[elastic] step budget exhausted near epoch {prev}; "
+                          f"rolled back to epoch {epoch} with "
+                          f"max_steps={elastic.max_steps}", flush=True)
+                    apply_new = make_apply(elastic.max_steps)
+                    sgd_step, train_step, eval_logits = build_fns(apply_new)
+                    pending = cand = None
+                    continue
+                print_epoch(it, pending[0], st_np, pending[2])
+            break
         print("Optimization Finished!")
         t_total = time.time() - t_start
         print("Total time elapsed: {:.4f}s".format(t_total))
@@ -417,7 +478,8 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     total = time.time() - t_very_beginning
     print("DONE!\nTotal time: {:.4f}s;\n".format(total))
 
-    summary: Dict[str, Any] = {"rows": rows, "total_time": total, "fname": fname}
+    summary: Dict[str, Any] = {"rows": rows, "total_time": total, "fname": fname,
+                               "elastic_retries": elastic.retries}
     if args.dump and rows:
         fout.close()
         accs = np.array([r[2] for r in rows])

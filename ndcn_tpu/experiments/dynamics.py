@@ -190,6 +190,7 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
     rnn_type = args.baseline.split("_")[0] if not continuous else None
     hidden_size_gnn, hidden_size_rnn = 5, 10
 
+    budget_is_auto = False
     if continuous:
         params = init_ndcn(key, 1, args.hidden, 1, no_embed=flags["no_embed"],
                            no_control=flags["no_control"])
@@ -208,40 +209,54 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
                     max_steps=1 << 14, nondiff=True, **flags)
                 return stats
 
-            max_steps = probe_step_budget(probe)
+            if args.replicas > 1:
+                # a vmapped sweep cannot roll back one replica: size generously
+                max_steps = probe_step_budget(probe)
+            else:
+                # snug budget: exhaustion is recoverable (elastic rollback in
+                # the training loop below), and every frozen scan slot costs
+                # real time on every step
+                max_steps = probe_step_budget(probe, floor=8, headroom=2.5,
+                                              slack=4, quantum=4)
+                budget_is_auto = True
             print(f"auto step budget: max_steps={max_steps}")
         elif max_steps <= 0:
             max_steps = 256
-
-        def forward(p, vt, y0, rng=None):
-            out, stats = ndcn_forward(
-                p, op, vt, y0, rtol=args.rtol, atol=args.atol, method=args.method,
-                dropout=args.dropout, rng=rng, adjoint=args.adjoint,
-                max_steps=max_steps, fused=args.fused_kernel, **flags)
-            return jnp.squeeze(out, -1).T, stats    # (n, T)
-
-        def train_loss(p, rng):
-            pred, stats = forward(p, t_train, true_y0, rng)
-            loss = l1_loss(pred, true_y_train)
-            if stats is not None:
-                # a blown step budget must be loud (NaN), not silently wrong
-                loss = jnp.where(stats.success, loss, jnp.nan)
-            return loss, loss / jnp.mean(true_y_train)
     else:
+        max_steps = 0
         params = init_temporal_gcn(key, 1, hidden_size_gnn, n, hidden_size_rnn,
                                    rnn_type)
 
-        def forward(p, _vt, y_seq, rng=None, future=0):
-            out = temporal_gcn_forward(p, op, y_seq, rnn_type=rnn_type,
-                                       future=future, dropout=args.dropout,
-                                       rng=rng, deterministic=rng is None)
-            return out, None
+    def make_forward(ms):
+        if continuous:
+            def forward(p, vt, y0, rng=None):
+                out, stats = ndcn_forward(
+                    p, op, vt, y0, rtol=args.rtol, atol=args.atol,
+                    method=args.method, dropout=args.dropout, rng=rng,
+                    adjoint=args.adjoint, max_steps=ms,
+                    fused=args.fused_kernel, **flags)
+                return jnp.squeeze(out, -1).T, stats    # (n, T)
 
-        def train_loss(p, rng):
-            pred, _ = forward(p, None, true_y_train[:, :-1], rng)
-            target = true_y_train[:, 1:]
-            loss = l1_loss(pred, target)
-            return loss, loss / jnp.mean(target)
+            def train_loss(p, rng):
+                pred, stats = forward(p, t_train, true_y0, rng)
+                loss = l1_loss(pred, true_y_train)
+                if stats is not None:
+                    # a blown step budget must be loud (NaN), not silently wrong
+                    loss = jnp.where(stats.success, loss, jnp.nan)
+                return loss, loss / jnp.mean(true_y_train)
+        else:
+            def forward(p, _vt, y_seq, rng=None, future=0):
+                out = temporal_gcn_forward(p, op, y_seq, rnn_type=rnn_type,
+                                           future=future, dropout=args.dropout,
+                                           rng=rng, deterministic=rng is None)
+                return out, None
+
+            def train_loss(p, rng):
+                pred, _ = forward(p, None, true_y_train[:, :-1], rng)
+                target = true_y_train[:, 1:]
+                loss = l1_loss(pred, target)
+                return loss, loss / jnp.mean(target)
+        return forward, train_loss
 
     n_params = sum(int(np.prod(l.shape))
                    for l in jax.tree_util.tree_leaves(params))
@@ -252,50 +267,59 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
     opt_state = opt.init(params)
     params, opt_state, start_iter = restore_or_init(args.ckpt_dir, params, opt_state)
 
-    sgd_step = make_sgd_step(opt, train_loss)
-    train_step = partial(jax.jit, donate_argnums=(0, 1))(sgd_step)
-
     chunk = max(0, args.scan_chunk)
 
-    @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("length",))
-    def train_chunk(p, s, rng, length):
-        def body(carry, step_rng):
-            p, s, loss, rel = sgd_step(*carry, step_rng)
-            return (p, s), (loss, rel)
-        (p, s), (losses, rels) = jax.lax.scan(body, (p, s),
-                                              jax.random.split(rng, length))
-        return p, s, losses[-1], rels[-1]
+    def build_fns(ms):
+        """(sgd_step, train_step, train_chunk, evaluate) for one step budget.
 
-    @jax.jit
-    def evaluate(p):
-        if continuous:
-            pred, stats = forward(p, t_full, true_y0)
-            nfe = stats.nfe if stats is not None else jnp.asarray(0)
-        else:
-            pred, _ = forward(p, None, true_y_train, future=len(id_test))
-            nfe = jnp.asarray(0)
-            # discrete rollout: the future block occupies the trailing columns
-            cols = jnp.arange(pred.shape[1] - len(id_test), pred.shape[1])
-            loss_t = l1_loss(pred[:, cols], true_y_test)
+        Rebuilt (recompiled) when the elastic-recovery path grows the budget."""
+        forward, train_loss = make_forward(ms)
+        sgd_step = make_sgd_step(opt, train_loss)
+        train_step = partial(jax.jit, donate_argnums=(0, 1))(sgd_step)
+
+        @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("length",))
+        def train_chunk(p, s, rng, length):
+            def body(carry, step_rng):
+                p, s, loss, rel = sgd_step(*carry, step_rng)
+                return (p, s), (loss, rel)
+            (p, s), (losses, rels) = jax.lax.scan(body, (p, s),
+                                                  jax.random.split(rng, length))
+            return p, s, losses[-1], rels[-1]
+
+        @jax.jit
+        def evaluate(p):
+            if continuous:
+                pred, stats = forward(p, t_full, true_y0)
+                nfe = stats.nfe if stats is not None else jnp.asarray(0)
+            else:
+                pred, _ = forward(p, None, true_y_train, future=len(id_test))
+                nfe = jnp.asarray(0)
+                # discrete rollout: the future block occupies the trailing columns
+                cols = jnp.arange(pred.shape[1] - len(id_test), pred.shape[1])
+                loss_t = l1_loss(pred[:, cols], true_y_test)
+                out = dict(loss=loss_t, rel=loss_t / jnp.mean(true_y_test),
+                           pred_test=pred[:, cols], nfe=nfe)
+                out["loss2"] = jnp.asarray(0.0)
+                out["rel2"] = jnp.asarray(0.0)
+                out["pred_test2"] = jnp.zeros_like(true_y_test2) if id_test2_j is not None else jnp.zeros(())
+                return out
+            loss_t = l1_loss(pred[:, id_test_j], true_y_test)
             out = dict(loss=loss_t, rel=loss_t / jnp.mean(true_y_test),
-                       pred_test=pred[:, cols], nfe=nfe)
-            out["loss2"] = jnp.asarray(0.0)
-            out["rel2"] = jnp.asarray(0.0)
-            out["pred_test2"] = jnp.zeros_like(true_y_test2) if id_test2_j is not None else jnp.zeros(())
+                       pred_test=pred[:, id_test_j], nfe=nfe)
+            if id_test2_j is not None:
+                loss2 = l1_loss(pred[:, id_test2_j], true_y_test2)
+                out["loss2"] = loss2
+                out["rel2"] = loss2 / jnp.mean(true_y_test2)
+                out["pred_test2"] = pred[:, id_test2_j]
+            else:
+                out["loss2"] = jnp.asarray(0.0)
+                out["rel2"] = jnp.asarray(0.0)
+                out["pred_test2"] = jnp.zeros(())
             return out
-        loss_t = l1_loss(pred[:, id_test_j], true_y_test)
-        out = dict(loss=loss_t, rel=loss_t / jnp.mean(true_y_test),
-                   pred_test=pred[:, id_test_j], nfe=nfe)
-        if id_test2_j is not None:
-            loss2 = l1_loss(pred[:, id_test2_j], true_y_test2)
-            out["loss2"] = loss2
-            out["rel2"] = loss2 / jnp.mean(true_y_test2)
-            out["pred_test2"] = pred[:, id_test2_j]
-        else:
-            out["loss2"] = jnp.asarray(0.0)
-            out["rel2"] = jnp.asarray(0.0)
-            out["pred_test2"] = jnp.zeros(())
-        return out
+
+        return sgd_step, train_step, train_chunk, evaluate
+
+    sgd_step, train_step, train_chunk, evaluate = build_fns(max_steps)
 
     # ------------------------------------------- batched multi-replica training
     if args.replicas > 1:
@@ -437,6 +461,15 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
                       .format(itr, float(loss), float(rel), float(ev["loss"]),
                               float(ev["rel"]), time.time() - t_start))
 
+    # Elastic step-budget recovery (auto budgets only): exhaustion surfaces as
+    # a NaN train loss (the solvers flag success=False, train_loss poisons);
+    # roll back to the last finite-loss snapshot, double the budget, recompile,
+    # and replay — deterministic, same rng stream (see train/elastic.py).
+    from ndcn_tpu.train.elastic import ElasticBudget
+    elastic = ElasticBudget(max_steps, enabled=budget_is_auto)
+    elastic.snapshot(start_iter, rng, (params, opt_state))
+    results["elastic_retries"] = 0
+
     # chunked stepping folds `scan_chunk` steps into one dispatch; hooks fire on
     # chunk boundaries, so align chunks with test_freq for identical log cadence.
     itr = start_iter
@@ -456,7 +489,24 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
             itr += 1
             rng, step_rng = jax.random.split(rng)
             params, opt_state, loss, rel = train_step(params, opt_state, step_rng)
-        periodic_hooks(itr, loss, rel)
+        at_boundary = itr % args.test_freq == 0 or itr >= args.niters
+        if at_boundary:
+            # the loss fetch syncs the device — only at hook cadence, so the
+            # steady-state dispatch pipeline stays full between boundaries
+            if elastic.exhausted(loss):
+                prev = itr
+                itr, rng, (params, opt_state) = elastic.rollback()
+                results["elastic_retries"] = elastic.retries
+                print(f"[elastic] step budget exhausted by iter {prev}; rolled "
+                      f"back to iter {itr} with max_steps={elastic.max_steps}",
+                      flush=True)
+                sgd_step, train_step, train_chunk, evaluate = build_fns(
+                    elastic.max_steps)
+                continue
+            periodic_hooks(itr, loss, rel)
+            elastic.snapshot(itr, rng, (params, opt_state))
+        else:
+            periodic_hooks(itr, loss, rel)
 
     # ---------------------------------------------------------------- final
     ev = evaluate(params)

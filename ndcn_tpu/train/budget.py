@@ -77,15 +77,22 @@ def accelerator_memory_limit(default: int = 16 << 30) -> int:
 
 def probe_step_budget(solve_nondiff: Callable[[], "object"],
                       floor: int = 16, headroom: float = 4.0,
-                      slack: int = 8) -> int:
+                      slack: int = 8, quantum: int = 8) -> int:
     """Run ``solve_nondiff`` (returning SolveStats) on CPU; size the scan budget.
 
     ``solve_nondiff`` must close over CPU-resident inputs (see ``to_cpu``).
-    budget = clip(headroom * attempts + slack, floor, ∞), rounded up to 8.
+    budget = clip(headroom * attempts + slack, floor, ∞), rounded up to
+    ``quantum``. The defaults are deliberately conservative — right when
+    exhaustion mid-run just wastes the run. A caller that can RECOVER from
+    exhaustion (the dynamics driver rolls back to its last good snapshot and
+    regrows the budget) should pass snug values instead, e.g.
+    ``floor=8, headroom=1.5, slack=4, quantum=4``: frozen scan iterations cost
+    real time every step, so the snug budget is the single biggest
+    trainer-throughput lever (see module docstring).
     """
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         stats = solve_nondiff()
     attempts = int(stats.n_accepted) + int(stats.n_rejected)
     budget = max(floor, int(headroom * attempts) + slack)
-    return -(-budget // 8) * 8
+    return -(-budget // quantum) * quantum

@@ -173,3 +173,29 @@ def test_mutualistic_sparse_ell_driver():
     from ndcn_tpu.experiments.dynamics import run
     out = run("mutualistic", _dyn_args(["--sparse"]))
     assert np.isfinite(out["final"]["abs_error"])
+
+
+def test_elastic_budget_recovery(monkeypatch):
+    """A deliberately starved auto step budget must recover: the driver rolls
+    back to the last finite-loss snapshot, doubles the budget, and completes
+    training with a finite loss (exhaustion poisons the loss to NaN first)."""
+    import ndcn_tpu.train.budget as budget
+    from ndcn_tpu.experiments.dynamics import run
+
+    monkeypatch.setattr(budget, "probe_step_budget",
+                        lambda probe, **kw: 2)  # far below the needed attempts
+    out = run("heat", _dyn_args(["--method", "dopri5", "--niters", "6",
+                                 "--test_freq", "2"]))
+    assert out["elastic_retries"] >= 1
+    assert np.isfinite(out["final"]["train_loss"])
+    assert np.isfinite(out["final"]["abs_error"])
+
+
+def test_elastic_budget_snug_path_untriggered():
+    """The snug auto budget must complete WITHOUT retries on a tame problem."""
+    from ndcn_tpu.experiments.dynamics import run
+
+    out = run("heat", _dyn_args(["--method", "dopri5", "--niters", "4",
+                                 "--test_freq", "2"]))
+    assert out["elastic_retries"] == 0
+    assert np.isfinite(out["final"]["train_loss"])

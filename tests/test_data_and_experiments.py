@@ -235,3 +235,19 @@ def test_showcase_accuracy_band():
         "--platform", "cpu"])
     acc = summary["rows"][-1][2]
     assert 0.80 <= acc <= 0.86, acc
+
+
+def test_dgnn_elastic_budget_recovery(monkeypatch):
+    """A starved auto budget on the dgnn path must roll back (one-epoch-late
+    NaN detection), double the budget, and finish with a finite test loss."""
+    import ndcn_tpu.train.budget as budget
+    from ndcn_tpu.experiments.dgnn import build_parser, run
+
+    monkeypatch.setattr(budget, "probe_step_budget", lambda probe, **kw: 1)
+    args, _ = build_parser().parse_known_args(
+        ["--model", "differential_gcn", "--epochs", "12", "--hidden", "16",
+         "--seed", "1", "--T", "1.2", "--time_tick", "6", "--dropout", "0",
+         "--data_dir", DATA_DIR, "--platform", "cpu"])
+    out = run(args)
+    assert out["elastic_retries"] >= 1
+    assert np.isfinite(out["rows"][0][1])  # test loss
