@@ -223,8 +223,15 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     from functools import partial as _partial
 
     def build_fns(a):
-        """(sgd_step, train_step, eval_logits) over one `apply` closure —
-        rebuilt (recompiled) when elastic recovery grows the step budget."""
+        """(sgd_step, epoch_step, eval_logits) over one `apply` closure —
+        rebuilt (recompiled) when elastic recovery grows the step budget.
+
+        ``epoch_step`` runs the whole per-epoch protocol — train step, the
+        eval-mode re-forward (unless --fastmode), and the epoch-stats vector —
+        as three back-to-back ASYNC dispatches with no host sync between them:
+        the queue overlaps epoch N's eval/stats with epoch N+1's train step,
+        which measures faster than fusing everything into one program (the
+        stats themselves are fetched one epoch late by the caller)."""
         def train_objective(q, rng):
             logits, ok = a(q, rng, deterministic=False)
             loss = cross_entropy(logits[idx_train], labels[idx_train])
@@ -235,17 +242,17 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         sgd_step = make_sgd_step(opt, train_objective)
         train_step = _partial(jax.jit, donate_argnums=(0, 1))(sgd_step)
         eval_logits = jax.jit(lambda p: a(p, None, deterministic=True)[0])
-        return sgd_step, train_step, eval_logits
 
-    sgd_step, train_step, eval_logits = build_fns(apply)
+        def epoch_step(q, s, rng):
+            q, s, loss_train, train_logits = train_step(q, s, rng)
+            logits = train_logits if args.fastmode else eval_logits(q)
+            return q, s, epoch_stats(logits, loss_train)
 
-    def metrics(logits, idx):
-        return (float(cross_entropy(logits[idx], labels[idx])),
-                float(accuracy(logits[idx], labels[idx])))
+        return sgd_step, epoch_step, eval_logits
 
     @jax.jit
     def epoch_stats(logits, loss_train):
-        """All per-epoch scalars in one device array → one host sync per epoch
+        """All per-epoch scalars in one device array -> one host sync per epoch
         (each float() costs a ~30 ms round trip through the TPU tunnel)."""
         return jnp.stack([
             loss_train,
@@ -254,6 +261,12 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
             cross_entropy(logits[idx_val], labels[idx_val]),
             accuracy(logits[idx_val], labels[idx_val]),
         ])
+
+    sgd_step, epoch_step, eval_logits = build_fns(apply)
+
+    def metrics(logits, idx):
+        return (float(cross_entropy(logits[idx], labels[idx])),
+                float(accuracy(logits[idx], labels[idx])))
 
     # --------------------------------------------- batched independent repeats
     if args.batch_iters:
@@ -376,8 +389,27 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
 
     # -------------------------------------------------------------- training
     if args.mesh:
-        print("--mesh applies to --batch_iters replica sweeps only; "
-              "training the single model unsharded")
+        # single-model model-parallelism: operator rows and node-major
+        # activations shard over the mesh's 'model' axis (dense rows via GSPMD,
+        # COO via the shard_map row-block SpMV); params stay replicated. XLA
+        # inserts the all-gather of the hidden state that row-parallel A·X
+        # needs. This is the scale-out path for graphs beyond one chip's HBM
+        # (SURVEY.md §5: pubmed-scale node-axis sharding).
+        if len(jax.devices()) < 2:
+            print("--mesh: single device visible; running unsharded")
+        else:
+            from ndcn_tpu.parallel.mesh import (make_mesh, node_sharding,
+                                                replicated)
+            from ndcn_tpu.parallel.sweep import shard_operator
+            mesh = make_mesh(data_divides=1, model_divides=n)
+            print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+            op = shard_operator(mesh, op)
+            features = jax.device_put(features, node_sharding(mesh))
+            rep = replicated(mesh)
+            params = jax.tree_util.tree_map(
+                lambda l: jax.device_put(l, rep), params)
+            opt_state = jax.tree_util.tree_map(
+                lambda l: jax.device_put(l, rep), opt_state)
     fout = None
     fname = None
     if args.dump:
@@ -421,13 +453,8 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                     # async device copy; promoted below once validated
                     cand = (epoch, key, device_copy((params, opt_state)))
                 key, rng = jax.random.split(key)
-                params, opt_state, loss_train, train_logits = train_step(
-                    params, opt_state, rng)
-                if args.fastmode:
-                    logits = train_logits
-                else:
-                    logits = eval_logits(params)
-                st_dev = epoch_stats(logits, loss_train)
+                # train + eval re-forward + stats in ONE dispatch (build_fns)
+                params, opt_state, st_dev = epoch_step(params, opt_state, rng)
                 # fetch the PREVIOUS epoch's stats now: its transfer overlapped
                 # with this epoch's compute, hiding the ~30 ms tunnel round trip
                 if pending is not None:
@@ -439,7 +466,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                               f"{prev}; rolled back to epoch {epoch} with "
                               f"max_steps={elastic.max_steps}", flush=True)
                         apply_new = make_apply(elastic.max_steps)
-                        sgd_step, train_step, eval_logits = build_fns(apply_new)
+                        sgd_step, epoch_step, eval_logits = build_fns(apply_new)
                         pending = cand = None
                         continue
                     print_epoch(it, pending[0], st_np, pending[2])
@@ -457,7 +484,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                           f"rolled back to epoch {epoch} with "
                           f"max_steps={elastic.max_steps}", flush=True)
                     apply_new = make_apply(elastic.max_steps)
-                    sgd_step, train_step, eval_logits = build_fns(apply_new)
+                    sgd_step, epoch_step, eval_logits = build_fns(apply_new)
                     pending = cand = None
                     continue
                 print_epoch(it, pending[0], st_np, pending[2])

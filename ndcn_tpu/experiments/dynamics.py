@@ -412,8 +412,31 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
         }
 
     if args.mesh:
-        print("--mesh applies to --replicas sweeps only; "
-              "training the single model unsharded")
+        # single-model model-parallelism: operator rows and every node-major
+        # array shard over the 'model' axis (dense via GSPMD row placement,
+        # COO via the shard_map row-block SpMV); params stay replicated. The
+        # training/eval closures late-bind these names, so the jitted steps
+        # trace against the sharded arrays and XLA inserts the collectives.
+        if len(jax.devices()) < 2:
+            print("--mesh: single device visible; running unsharded")
+        else:
+            from ndcn_tpu.parallel.mesh import (make_mesh, node_sharding,
+                                                replicated)
+            from ndcn_tpu.parallel.sweep import shard_operator
+            mesh = make_mesh(data_divides=1, model_divides=n)
+            print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+            op = shard_operator(mesh, op)
+            node = node_sharding(mesh)
+            true_y0 = jax.device_put(true_y0, node)
+            true_y_train = jax.device_put(true_y_train, node)
+            true_y_test = jax.device_put(true_y_test, node)
+            if true_y_test2 is not None:
+                true_y_test2 = jax.device_put(true_y_test2, node)
+            rep = replicated(mesh)
+            params = jax.tree_util.tree_map(
+                lambda l: jax.device_put(l, rep), params)
+            opt_state = jax.tree_util.tree_map(
+                lambda l: jax.device_put(l, rep), opt_state)
     results = results_lib.new_results_dict(vars(args))
     results["true_y"].append(np.asarray(true_y))
     results["nfe_train"] = []

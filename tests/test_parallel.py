@@ -255,3 +255,61 @@ def test_make_mesh_constraints():
     assert m.devices.shape == (1, 7)
     m = make_mesh(8, data_divides=3, model_divides=11)     # best is 3 devices
     assert m.devices.shape == (3, 1)
+
+
+def test_dgnn_single_model_mesh_parity():
+    """dgnn --mesh (single model): node-sharded training must match the
+    unsharded run — same rng stream, so the trajectories are identical up to
+    float reassociation across shards."""
+    import os
+
+    from ndcn_tpu.experiments.dgnn import build_parser, run
+
+    data_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data")
+    base = ["--model", "differential_gcn", "--epochs", "6", "--hidden", "16",
+            "--seed", "3", "--T", "1.2", "--time_tick", "6", "--dropout", "0",
+            "--data_dir", data_dir, "--platform", "cpu"]
+    args_u, _ = build_parser().parse_known_args(base)
+    out_u = run(args_u)
+    args_s, _ = build_parser().parse_known_args(base + ["--mesh"])
+    out_s = run(args_s)
+    loss_u, acc_u = out_u["rows"][0][1], out_u["rows"][0][2]
+    loss_s, acc_s = out_s["rows"][0][1], out_s["rows"][0][2]
+    assert np.isfinite(loss_s)
+    np.testing.assert_allclose(loss_s, loss_u, rtol=1e-4)
+    np.testing.assert_allclose(acc_s, acc_u, atol=1e-6)
+
+
+def test_dynamics_single_model_mesh_parity():
+    """heat --mesh (single model, dopri5): node-sharded training must match the
+    unsharded run's final losses (same rng stream)."""
+    from ndcn_tpu.experiments.dynamics import build_parser, run
+
+    base = ["--method", "dopri5", "--n", "64", "--time_tick", "10",
+            "--niters", "6", "--test_freq", "3", "--platform", "cpu",
+            "--seed", "0"]
+    out_u = run("heat", build_parser("t").parse_args(base))
+    out_s = run("heat", build_parser("t").parse_args(base + ["--mesh"]))
+    assert np.isfinite(out_s["final"]["abs_error"])
+    # float reassociation across shards can flip an accept/reject decision in
+    # the step controller, so trajectories diverge slightly over training
+    # iterations — equivalence, not bitwise determinism, is the contract here
+    np.testing.assert_allclose(out_s["final"]["abs_error"],
+                               out_u["final"]["abs_error"], rtol=1e-2)
+    np.testing.assert_allclose(out_s["final"]["train_loss"],
+                               out_u["final"]["train_loss"], rtol=1e-2)
+
+
+def test_dynamics_single_model_mesh_sparse_coo():
+    """heat --mesh --sparse (COO): the row-block shard_map SpMV path end-to-end."""
+    from ndcn_tpu.experiments.dynamics import build_parser, run
+
+    base = ["--method", "dopri5", "--n", "64", "--time_tick", "10",
+            "--niters", "4", "--test_freq", "2", "--platform", "cpu",
+            "--seed", "0", "--sparse", "--sparse_format", "coo"]
+    out_u = run("heat", build_parser("t").parse_args(base))
+    out_s = run("heat", build_parser("t").parse_args(base + ["--mesh"]))
+    assert np.isfinite(out_s["final"]["abs_error"])
+    np.testing.assert_allclose(out_s["final"]["abs_error"],
+                               out_u["final"]["abs_error"], rtol=1e-2)
