@@ -60,7 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sparse_format", type=str, default="coo",
                    choices=["coo", "ell", "bsr"],
                    help="sparse layout: segment-sum COO (scalable default), "
-                        "gather-ELL, or the Pallas BSR kernel")
+                        "gather-ELL, or the Pallas BSR kernel (suited to "
+                        "block-clustered operators; scattered graphs average "
+                        "a few edges per 128x128 block and waste the MXU)")
     p.add_argument("--max_steps", type=int, default=0,
                    help="adaptive step budget for the differentiable solve "
                         "(0 = auto-size from a probe solve at init)")
@@ -179,7 +181,13 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         if max_steps <= 0 and args.method in ("dopri5", "tsit5"):
             from ndcn_tpu.train.budget import probe_step_budget, to_cpu
 
-            params_c, op_c, feats_c, vt_c = to_cpu((params, op, features, vt_model))
+            # step counts don't depend on the operator LAYOUT (same matrix), so
+            # the CPU probe uses COO when the chosen format is the Pallas BSR
+            # kernel — interpret-mode pallas at pubmed scale takes minutes
+            op_probe = (as_operator(data.operator, sparse=True, format="coo")
+                        if args.sparse_format == "bsr" and use_sparse else op)
+            params_c, op_c, feats_c, vt_c = to_cpu(
+                (params, op_probe, features, vt_model))
 
             def probe():
                 _, stats = ndcn_forward(

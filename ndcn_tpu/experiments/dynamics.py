@@ -199,8 +199,13 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
         if max_steps <= 0 and args.method in ("dopri5", "tsit5"):
             from ndcn_tpu.train.budget import probe_step_budget, to_cpu
 
+            # probe over COO when the training format is the Pallas BSR kernel:
+            # step counts don't depend on the operator layout, and interpret-
+            # mode pallas on the CPU probe is minutes-slow at large n
+            op_probe = (as_operator(om_np, sparse=True, format="coo")
+                        if args.sparse and args.sparse_format == "bsr" else op)
             params_c, op_c, t_c, y0_c = to_cpu(
-                (params, op, jnp.asarray(t_np), true_y0))
+                (params, op_probe, jnp.asarray(t_np), true_y0))
 
             def probe():
                 _, stats = ndcn_forward(

@@ -24,6 +24,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ndcn_tpu.kernels.platform import pallas_interpret
 import scipy.sparse as sp
 
 BLOCK = 128
@@ -135,7 +137,7 @@ def bsr_spmm_raw(a: BsrMatrix, x: jnp.ndarray, block: int = BLOCK) -> jnp.ndarra
         _spmm_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nrb * block, d_pad), jnp.float32),
-        interpret=jax.default_backend() != "tpu",
+        interpret=pallas_interpret(),
     )(a.block_ids, a.block_cols, a.blocks, x_pad)
     return out[: a.n_rows, :d].astype(x.dtype)
 
@@ -219,7 +221,7 @@ def bsr_fused_rhs_raw(a: BsrMatrix, x: jnp.ndarray, w: jnp.ndarray,
         _spmm_fused_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nrb * block, d_pad), jnp.float32),
-        interpret=jax.default_backend() != "tpu",
+        interpret=pallas_interpret(),
     )(a.block_ids, a.block_cols, a.blocks, x_pad, w_pad, b_pad)
     return out[: a.n_rows, :d].astype(x.dtype)
 

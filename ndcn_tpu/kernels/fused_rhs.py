@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ndcn_tpu.kernels.platform import pallas_interpret
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -111,6 +113,6 @@ def fused_graph_rhs(a: jnp.ndarray, h: jnp.ndarray, w: jnp.ndarray,
         out_specs=pl.BlockSpec((block_rows, k_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, k_pad), jnp.float32),
-        interpret=jax.default_backend() != "tpu",
+        interpret=pallas_interpret(),
     )(a_p, h_p, w_p, b_p)
     return out[:n, :k].astype(h.dtype)

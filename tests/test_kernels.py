@@ -181,3 +181,16 @@ def test_ndcn_forward_fused_bsr_matches_unfused():
                                   fused=False)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_interpret_honors_default_device():
+    """The interpret decision must follow jax.default_device overrides — the
+    drivers' step-budget probes run solves under default_device(cpu) while the
+    process backend stays the TPU (see kernels/platform.py)."""
+    from ndcn_tpu.kernels.platform import pallas_interpret
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        assert pallas_interpret() is True
+    # outside the scope the decision falls back to the process backend
+    assert pallas_interpret() == (jax.default_backend() != "tpu")
