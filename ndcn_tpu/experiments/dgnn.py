@@ -71,9 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(vmapped; differs from the reference's accumulating "
                         "--iter loop)")
     p.add_argument("--mesh", action="store_true",
-                   help="with --batch_iters: shard replicas over the device "
-                        "mesh 'data' axis and node-major arrays (operator "
-                        "rows, features) over 'model' (multi-chip)")
+                   help="multi-chip: with --batch_iters, shard replicas over "
+                        "the mesh 'data' axis and node-major arrays over "
+                        "'model'; on a single model, row-shard the operator "
+                        "and features over 'model' (params replicated)")
     p.add_argument("--data_dir", type=str, default="data")
     from ndcn_tpu.utils.platform import add_platform_flag
     add_platform_flag(p)

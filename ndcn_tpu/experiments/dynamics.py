@@ -79,8 +79,10 @@ def build_parser(name: str) -> argparse.ArgumentParser:
                         "Cuts per-step host latency ~5x on TPU; incompatible "
                         "with --ckpt_dir/--profile_dir mid-chunk granularity")
     p.add_argument("--mesh", action="store_true",
-                   help="with --replicas: shard replicas over the device mesh "
-                        "'data' axis and node-major arrays over 'model'")
+                   help="multi-chip: with --replicas, shard replicas over the "
+                        "mesh 'data' axis and node-major arrays over 'model'; "
+                        "on a single model, row-shard the operator and all "
+                        "node-major arrays over 'model' (params replicated)")
     p.add_argument("--replicas", type=int, default=1,
                    help="train this many independent replicas simultaneously "
                         "(vmapped; dumps one results file per replica)")
