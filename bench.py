@@ -80,6 +80,17 @@ def bench_jax(om, t_train, x0, reps=200):
     from ndcn_tpu.graph.sparse import from_dense
     from ndcn_tpu.models import init_ndcn, ndcn_forward
 
+    # 'high' MXU precision (3-pass bf16) for this workload: the default
+    # single-pass bf16 truncation perturbs the embedded error estimate enough
+    # that the step controller takes 4 attempts where the reference's
+    # f64-time/f32-state CPU solve takes 3. At 400n/h20 the matmuls are tiny
+    # (latency-bound), so the extra MXU passes cost less than the saved solver
+    # step: measured on v5e-1, steps/s 1738 (default, nfe 26) -> 1894 ('high',
+    # nfe 20) -> 1822 ('highest' full-f32, nfe 20). At dgnn scale (2708n/h256,
+    # rtol .1) the trade flips — default precision loses no steps there and
+    # multi-pass costs 2.2x — so bench_dgnn_epoch keeps the default.
+    # (NB on this JAX, 'float32' is an alias for HIGHEST, not the 3-pass mode.)
+    jax.config.update("jax_default_matmul_precision", "high")
     log(f"[jax] device={jax.devices()[0]} (compiling...)")
     op = from_dense(om)
     vt = jnp.asarray(t_train)
@@ -132,6 +143,8 @@ def bench_jax(om, t_train, x0, reps=200):
     dt = time.perf_counter() - t0
     assert all(bool(s) for s in succs), \
         "a timed chunk exhausted the snug step budget; the measurement is void"
+    # restore the ambient default: bench_dgnn_epoch measures faster without it
+    jax.config.update("jax_default_matmul_precision", None)
     return n_chunks * CHUNK / dt, nfe
 
 

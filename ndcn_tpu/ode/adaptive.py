@@ -239,8 +239,15 @@ def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
                      nacc=c["nacc"] + accept.astype(jnp.int32),
                      nrej=c["nrej"] + (~accept).astype(jnp.int32),
                      ok=c["ok"] & ~underflow)
-            return c, dict(acc=accept, t0=att_t0, t1=att_t1,
-                           interp=method.interp_stack(interp_att))
+            # Mask rejected emissions to zero: every emitted slot participates
+            # in the dense-output matmul below (0-weight × non-finite = NaN),
+            # so a cleanly-rejected trial step whose interp-only leaves went
+            # inf (e.g. an overflowing y_mid combination) must not be allowed
+            # to poison all observation outputs. Rejected slots are never
+            # selectable (the cummax pins them), so zeroing is lossless.
+            interp_out = tree_where(accept, method.interp_stack(interp_att),
+                                    interp_zero)
+            return c, dict(acc=accept, t0=att_t0, t1=att_t1, interp=interp_out)
 
         return jax.lax.cond(done, frozen, live, c)
 

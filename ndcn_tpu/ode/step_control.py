@@ -63,7 +63,14 @@ def optimal_step_size(last_step, max_ratio, ctrl: Controller):
 
     The dfactor→1-on-accept quirk is reproduced: when max_ratio < 1 the step may
     only grow or stay. max_ratio == 0 falls out of the same clamp (factor=1/ifactor).
+
+    A NaN ratio (an oversized trial step overflowed and its error estimate
+    cancelled inf-inf) is treated as infinitely bad: maximal shrink (dt/dfactor)
+    instead of a NaN dt that would dead-end the solve. The reference never gets
+    here — it asserts the trial state finite and crashes (dopri5.py:100-102);
+    shrinking and retrying is the recoverable version of that guard.
     """
+    max_ratio = jnp.where(jnp.isnan(max_ratio), jnp.inf, max_ratio)
     dfactor = jnp.where(max_ratio < 1.0, 1.0, ctrl.dfactor)
     ratio_safe = jnp.maximum(max_ratio, _TINY)  # avoid 0**x NaN in grad
     error_ratio = jnp.sqrt(ratio_safe)

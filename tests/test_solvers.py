@@ -259,3 +259,31 @@ def test_dynamics_driver_all_methods(method):
          "--platform", "cpu", "--method", method, "--max_steps", "32"])
     out = run("heat", args)
     assert np.isfinite(out["final"]["abs_error"])
+
+
+@pytest.mark.parametrize("method", ["dopri5", "tsit5"])
+def test_rejected_overflow_step_does_not_poison_output(method):
+    """A cleanly-REJECTED trial step whose stage values overflow to inf must not
+    NaN the trajectory: every emitted dense-output slot participates in the
+    scan path's output matmul (0-weight x inf = NaN), so rejected emissions are
+    masked to zero. Forcing the scenario: dy/dt = e^y from y0=0 with an
+    oversized first step — the trial stages blow past the f32 exp range (inf),
+    the step rejects on an inf error ratio, and the controller's retry at
+    dt/ifactor succeeds."""
+
+    def stiff_exp(t, y):
+        return jnp.exp(y)
+
+    y0 = jnp.zeros((3,), jnp.float32)
+    t = jnp.linspace(0.0, 0.5, 6).astype(jnp.float32)
+    sol, stats = odeint_with_stats(stiff_exp, y0, t, rtol=1e-3, atol=1e-6,
+                                   method=method,
+                                   options={"first_step": 80.0,
+                                            "max_steps": 64})
+    assert int(stats.n_rejected) >= 1          # the oversized attempt rejected
+    assert bool(stats.success)
+    assert np.all(np.isfinite(np.asarray(sol)))
+    # truth: y(t) = -log(1 - t); rtol 1e-3 on the controller ~ 1% trajectory
+    np.testing.assert_allclose(np.asarray(sol[:, 0]),
+                               -np.log(1.0 - np.asarray(t)), rtol=3e-2,
+                               atol=1e-3)
