@@ -467,8 +467,11 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                 # fetch the PREVIOUS epoch's stats now: its transfer overlapped
                 # with this epoch's compute, hiding the ~30 ms tunnel round trip
                 if pending is not None:
+                    # the FULL stats vector is monitored: the eval re-forward
+                    # shares the snug budget, so a NaN val metric with a
+                    # finite train loss is still exhaustion, not health
                     st_np = np.asarray(pending[1])
-                    if elastic.exhausted(st_np[0]):
+                    if elastic.exhausted(st_np):
                         prev = epoch
                         epoch, key, (params, opt_state) = elastic.rollback()
                         print(f"[elastic] step budget exhausted near epoch "
@@ -480,13 +483,13 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                         continue
                     print_epoch(it, pending[0], st_np, pending[2])
                 if cand is not None:
-                    elastic.snapshot(*cand)
+                    elastic.snapshot(*cand, copy=False)
                     cand = None
                 pending = (epoch, st_dev, time.time() - t_epoch)
                 epoch += 1
             if pending is not None:
                 st_np = np.asarray(pending[1])
-                if elastic.exhausted(st_np[0]):
+                if elastic.exhausted(st_np):
                     prev = epoch
                     epoch, key, (params, opt_state) = elastic.rollback()
                     print(f"[elastic] step budget exhausted near epoch {prev}; "
@@ -504,6 +507,13 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
 
         logits = eval_logits(params)
         loss_test, acc_test = metrics(logits, idx_test)
+        if not np.isfinite(loss_test):
+            # final params are one step past the last monitored epoch; a NaN
+            # here means that last step exhausted the budget — say so rather
+            # than silently recording a NaN row
+            print("[warn] final test eval is non-finite (step budget "
+                  "exhausted on the last step?); row recorded as-is",
+                  flush=True)
         print("Test set results:", "loss= {:.4f}".format(loss_test),
               "accuracy= {:.4f}".format(acc_test))
         rows.append((t_total, loss_test, acc_test, 0.0))
@@ -515,7 +525,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     print("DONE!\nTotal time: {:.4f}s;\n".format(total))
 
     summary: Dict[str, Any] = {"rows": rows, "total_time": total, "fname": fname,
-                               "elastic_retries": elastic.retries}
+                               "elastic_retries": elastic.total_rollbacks}
     if args.dump and rows:
         fout.close()
         accs = np.array([r[2] for r in rows])

@@ -466,9 +466,22 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
             profiled = True
             print(f"[profile] trace written to {args.profile_dir}")
         if args.ckpt_dir and itr % args.ckpt_freq == 0:
-            save_checkpoint(args.ckpt_dir, itr, params, opt_state)
+            # never persist NaN-poisoned params: exhaustion under a snug auto
+            # budget is only DETECTED at test_freq boundaries, but ckpt_freq
+            # can fire in between — a NaN checkpoint would poison any later
+            # resume (elastic rollback is in-memory only)
+            if np.isfinite(float(loss)):
+                save_checkpoint(args.ckpt_dir, itr, params, opt_state)
+            else:
+                print(f"[ckpt] skipping iter {itr}: loss is non-finite "
+                      f"(budget exhaustion pending recovery)", flush=True)
         if itr % args.test_freq == 0:
             ev = evaluate(params)
+            if elastic.exhausted(ev["loss"]):
+                # the eval solve (full grid, longer horizon than training's)
+                # outgrew the shared budget even though the train loss is
+                # finite — signal rollback before recording anything
+                return False
             if args.dump:
                 results_lib.record_eval(
                     results, itr, ev["loss"], ev["rel"], ev["pred_test"], params,
@@ -490,6 +503,7 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
                       "| Time {:.4f}"
                       .format(itr, float(loss), float(rel), float(ev["loss"]),
                               float(ev["rel"]), time.time() - t_start))
+        return True
 
     # Elastic step-budget recovery (auto budgets only): exhaustion surfaces as
     # a NaN train loss (the solvers flag success=False, train_loss poisons);
@@ -520,26 +534,39 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
             rng, step_rng = jax.random.split(rng)
             params, opt_state, loss, rel = train_step(params, opt_state, step_rng)
         at_boundary = itr % args.test_freq == 0 or itr >= args.niters
+
+        def roll_back(prev):
+            nonlocal itr, rng, params, opt_state, sgd_step, train_step, \
+                train_chunk, evaluate
+            itr, rng, (params, opt_state) = elastic.rollback()
+            results["elastic_retries"] = elastic.total_rollbacks
+            print(f"[elastic] step budget exhausted by iter {prev}; rolled "
+                  f"back to iter {itr} with max_steps={elastic.max_steps}",
+                  flush=True)
+            sgd_step, train_step, train_chunk, evaluate = build_fns(
+                elastic.max_steps)
+
         if at_boundary:
             # the loss fetch syncs the device — only at hook cadence, so the
             # steady-state dispatch pipeline stays full between boundaries
             if elastic.exhausted(loss):
-                prev = itr
-                itr, rng, (params, opt_state) = elastic.rollback()
-                results["elastic_retries"] = elastic.retries
-                print(f"[elastic] step budget exhausted by iter {prev}; rolled "
-                      f"back to iter {itr} with max_steps={elastic.max_steps}",
-                      flush=True)
-                sgd_step, train_step, train_chunk, evaluate = build_fns(
-                    elastic.max_steps)
+                roll_back(itr)
                 continue
-            periodic_hooks(itr, loss, rel)
+            # hooks return False when the EVAL solve exhausted the shared
+            # budget (its full-grid horizon can outgrow it before training's)
+            if not periodic_hooks(itr, loss, rel):
+                roll_back(itr)
+                continue
             elastic.snapshot(itr, rng, (params, opt_state))
         else:
             periodic_hooks(itr, loss, rel)
 
     # ---------------------------------------------------------------- final
     ev = evaluate(params)
+    if not np.isfinite(float(ev["loss"])):
+        print("[warn] final evaluation is non-finite (step budget exhausted "
+              "after the last recovery boundary?); results recorded as-is",
+              flush=True)
     t_total = time.time() - t_start
     print("Total Time {:.4f}".format(t_total))
     results["total_time"] = t_total

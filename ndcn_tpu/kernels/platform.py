@@ -17,5 +17,6 @@ def pallas_interpret() -> bool:
     """True when pallas_call must run in interpret mode (non-TPU execution)."""
     dev = jax.config.jax_default_device
     if dev is not None:
-        return dev.platform != "tpu"
+        # jax accepts a Device OR a platform string ('cpu') here
+        return getattr(dev, "platform", dev) != "tpu"
     return jax.default_backend() != "tpu"

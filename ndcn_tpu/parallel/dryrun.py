@@ -38,8 +38,19 @@ def run_dryrun(n_devices: int) -> None:
     # the 1e-5 sharded-vs-unsharded parity asserts need full-f32 matmuls: on a
     # real TPU the default precision truncates inputs to bf16, and reduction-
     # order differences between the sharded and unsharded programs would then
-    # exceed the bound spuriously (CPU virtual meshes are exact either way)
+    # exceed the bound spuriously (CPU virtual meshes are exact either way).
+    # Restored on exit: in-process callers (tests, __graft_entry__ with enough
+    # devices) must not inherit HIGHEST numerics/cost for their later work.
+    prev_precision = jax.config.jax_default_matmul_precision
     jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        _run_dryrun_body(n_devices)
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev_precision)
+
+
+def _run_dryrun_body(n_devices: int) -> None:
+    import jax
     import jax.numpy as jnp
 
     from ndcn_tpu.graph import generators, operators

@@ -68,15 +68,32 @@ class ElasticBudget:
         self.max_steps = max_steps
         self.enabled = enabled
         self.max_retries = max_retries
-        self.retries = 0
+        self.retries = 0          # consecutive failed doublings (resets)
+        self.total_rollbacks = 0  # cumulative, for reporting
         self._snap = None
+        self._rollback_cursor = None
 
-    def snapshot(self, cursor: Any, rng: Any, state: Any) -> None:
+    def snapshot(self, cursor: Any, rng: Any, state: Any,
+                 copy: bool = True) -> None:
+        """Record a finite-loss restore point. ``copy=False`` takes ownership
+        of ``state`` (caller already device-copied it — don't copy twice).
+
+        A snapshot strictly past the last rollback point means that recovery
+        succeeded: the retry counter resets, so ``max_retries`` bounds
+        CONSECUTIVE failed doublings (genuine divergence), not total
+        recoveries over a long run whose trajectory complexity grows."""
         if self.enabled:
-            self._snap = (cursor, rng, device_copy(state))
+            if (self._rollback_cursor is not None
+                    and cursor > self._rollback_cursor):
+                self.retries = 0
+                self._rollback_cursor = None
+            self._snap = (cursor, rng, device_copy(state) if copy else state)
 
     def exhausted(self, loss) -> bool:
-        return self.enabled and not np.isfinite(float(loss))
+        """True when recovery should fire: any non-finite value in ``loss``
+        (a scalar or a stats vector — eval metrics share the snug budget and
+        must be monitored too, not just the train loss)."""
+        return self.enabled and not bool(np.all(np.isfinite(np.asarray(loss))))
 
     def rollback(self) -> Tuple[Any, Any, Any]:
         """Double the budget; return the snapshot ``(cursor, rng, state)``.
@@ -89,6 +106,8 @@ class ElasticBudget:
                 f"({self.max_retries} budget doublings) — this is divergence, "
                 f"not step-budget exhaustion; lower --lr or loosen rtol/atol")
         self.retries += 1
+        self.total_rollbacks += 1
         self.max_steps *= 2
         cursor, rng, state = self._snap
+        self._rollback_cursor = cursor
         return cursor, rng, device_copy(state)

@@ -175,20 +175,32 @@ def test_mutualistic_sparse_ell_driver():
     assert np.isfinite(out["final"]["abs_error"])
 
 
-def test_elastic_budget_recovery(monkeypatch):
+def test_elastic_budget_recovery(monkeypatch, tmp_path):
     """A deliberately starved auto step budget must recover: the driver rolls
     back to the last finite-loss snapshot, doubles the budget, and completes
-    training with a finite loss (exhaustion poisons the loss to NaN first)."""
+    training with a finite loss (exhaustion poisons the loss to NaN first).
+    Checkpoints written along the way must never hold NaN-poisoned params
+    (ckpt_freq fires between the test_freq detection boundaries)."""
     import ndcn_tpu.train.budget as budget
     from ndcn_tpu.experiments.dynamics import run
+    from ndcn_tpu.train import checkpoint as ckpt
 
     monkeypatch.setattr(budget, "probe_step_budget",
                         lambda probe, **kw: 2)  # far below the needed attempts
     out = run("heat", _dyn_args(["--method", "dopri5", "--niters", "6",
-                                 "--test_freq", "2"]))
+                                 "--test_freq", "2", "--ckpt_dir",
+                                 str(tmp_path), "--ckpt_freq", "1"]))
     assert out["elastic_retries"] >= 1
     assert np.isfinite(out["final"]["train_loss"])
     assert np.isfinite(out["final"]["abs_error"])
+    import jax
+    steps = ckpt.all_checkpoint_steps(str(tmp_path))
+    assert steps, "expected checkpoints to be written"
+    for s in sorted(steps):
+        snap = ckpt.load_checkpoint(str(tmp_path / f"ckpt_{s:08d}.pkl"))
+        for leaf in jax.tree_util.tree_leaves(snap["params"]):
+            assert np.all(np.isfinite(np.asarray(leaf))), \
+                f"checkpoint at step {s} holds non-finite params"
 
 
 def test_elastic_budget_snug_path_untriggered():
@@ -199,3 +211,41 @@ def test_elastic_budget_snug_path_untriggered():
                                  "--test_freq", "2"]))
     assert out["elastic_retries"] == 0
     assert np.isfinite(out["final"]["train_loss"])
+
+
+def test_elastic_budget_unit_semantics():
+    """ElasticBudget contract: (a) exhausted() fires on any non-finite entry of
+    a stats VECTOR (eval metrics share the snug budget); (b) the retry counter
+    bounds CONSECUTIVE failed doublings — it resets once a snapshot lands
+    strictly past the rollback point; (c) total_rollbacks is cumulative for
+    reporting; (d) snapshot(copy=False) takes ownership without re-copying."""
+    import jax.numpy as jnp
+    from ndcn_tpu.train.elastic import ElasticBudget, device_copy
+
+    eb = ElasticBudget(8, enabled=True, max_retries=2)
+    assert not eb.exhausted(jnp.asarray([1.0, 0.5, 0.9]))
+    assert eb.exhausted(jnp.asarray([1.0, jnp.nan, 0.9]))  # vector, mid NaN
+    assert eb.exhausted(jnp.asarray(jnp.inf))
+
+    state = {"w": jnp.ones(3)}
+    eb.snapshot(10, None, state)
+    _, _, s1 = eb.rollback()          # retries 1, budget 16
+    assert eb.retries == 1 and eb.max_steps == 16
+    eb.snapshot(10, None, state)      # NOT past the rollback point (== 10)
+    assert eb.retries == 1
+    eb.snapshot(12, None, state)      # progress past iter 10: recovery worked
+    assert eb.retries == 0
+    assert eb.total_rollbacks == 1
+    # two more consecutive failures now exhaust max_retries=2
+    eb.rollback()
+    eb.rollback()
+    assert eb.total_rollbacks == 3
+    import pytest
+    with pytest.raises(SystemExit):
+        eb.rollback()
+
+    # copy=False keeps the exact buffers (no second device copy)
+    eb2 = ElasticBudget(8, enabled=True)
+    pre = device_copy(state)
+    eb2.snapshot(0, None, pre, copy=False)
+    assert eb2._snap[2] is pre
