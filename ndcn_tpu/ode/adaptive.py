@@ -29,6 +29,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ndcn_tpu.ode import grad_guard
 from ndcn_tpu.ode import interp as interp_lib
 from ndcn_tpu.ode.runge_kutta import runge_kutta_step
 from ndcn_tpu.ode.step_control import (Controller, accept_and_max_ratio,
@@ -85,6 +86,9 @@ def _n_new_evals(tableau: Tableau) -> int:
     return len(tableau.alpha)  # f0 is reused from the previous step (FSAL)
 
 
+_all_finite = grad_guard.all_finite
+
+
 def _attempt_step_core(method: AdaptiveMethod, func, rk, ctrl: Controller,
                        tdtype):
     """One accept-or-reject adaptive step, branch-free, interp-free carry.
@@ -92,13 +96,24 @@ def _attempt_step_core(method: AdaptiveMethod, func, rk, ctrl: Controller,
     ``rk`` carries the reference's ``_RungeKuttaState`` fields (rk_common.py:8)
     minus the interp state: y/f at t1, the last accepted interval ends, the
     proposed next dt. Returns (updated base state, this attempt's interp state,
-    this attempt's interval ends, accept).
+    this attempt's interval ends, accept, finite).
+
+    An attempt whose internals (any RK stage, the trial state, or the error
+    estimate) are non-finite is ALWAYS rejected with dt_next = dt·dfactor
+    (maximal shrink), whatever the error ratio claims: an overflowed stage can
+    cancel out of the b-combination, and growing dt off a garbage "small
+    error" would livelock the controller. The reference assert-crashes in this
+    regime instead (dopri5.py:100-102); shrink-and-retry is the recoverable
+    version of that guard.
     """
     y1, f1, y1_error, k = runge_kutta_step(func, rk["y"], rk["f"], rk["t1"], rk["dt"],
                                            method.tableau)
+    finite = _all_finite(y1, f1, y1_error, k)
     ratios = error_ratios(y1_error, rk["y"], y1, ctrl.rtol, ctrl.atol, tdtype)
     accept, max_ratio = accept_and_max_ratio(ratios)
-    dt_next = optimal_step_size(rk["dt"], max_ratio, ctrl)
+    accept = accept & finite
+    dt_next = jnp.where(finite, optimal_step_size(rk["dt"], max_ratio, ctrl),
+                        rk["dt"] * ctrl.dfactor)
     new_interp = method.interp_make(rk["y"], y1, k, rk["dt"])
     att_t0, att_t1 = rk["t1"], rk["t1"] + rk["dt"]
 
@@ -109,15 +124,15 @@ def _attempt_step_core(method: AdaptiveMethod, func, rk, ctrl: Controller,
         t1=jnp.where(accept, att_t1, rk["t1"]),
         dt=dt_next,
     )
-    return base, new_interp, (att_t0, att_t1), accept
+    return base, new_interp, (att_t0, att_t1), accept, finite
 
 
 def _attempt_step(method: AdaptiveMethod, func, rk, ctrl: Controller, tdtype):
     """While-loop variant: the carry keeps the last ACCEPTED interp state (the
     obs-consumption branch interpolates from it)."""
     base = {k: v for k, v in rk.items() if k != "interp"}
-    base, new_interp, _, accept = _attempt_step_core(method, func, base, ctrl,
-                                                     tdtype)
+    base, new_interp, _, accept, _ = _attempt_step_core(method, func, base,
+                                                        ctrl, tdtype)
     out = dict(base, interp=tree_where(accept, new_interp, rk["interp"]))
     return out, accept
 
@@ -193,6 +208,38 @@ def solve_while(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
 # ------------------------------------------------------------------------ scan path
 
 
+def _make_guarded_attempt(method: AdaptiveMethod, func, ctrl: Controller,
+                          tdtype, interp_zero):
+    """A step attempt whose GRADIENT survives overflowing trial steps.
+
+    Forward == the masked attempt (identical numbers); backward switches to
+    the forced-reject linearization when the attempt's internals went
+    non-finite — full rationale and contract in ode/grad_guard.py. Accept and
+    finite ride as 0/1 floats (the guard requires all-inexact outputs).
+    """
+
+    def attempt(rk):
+        base, interp_att, tts, accept, finite = _attempt_step_core(
+            method, func, rk, ctrl, tdtype)
+        interp_out = tree_where(accept, method.interp_stack(interp_att),
+                                interp_zero)
+        return (base, interp_out, tts, accept.astype(tdtype),
+                finite.astype(tdtype))
+
+    def fallback(rk):
+        # exact primal of a forced-reject attempt, with NO func call on the
+        # tape — its VJP is clean by construction (and returns materialized
+        # zeros for the attempt's captured params: poisoned attempts
+        # contribute exactly nothing to d(loss)/d(params))
+        base = dict(y=rk["y"], f=rk["f"], t0=rk["t0"], t1=rk["t1"],
+                    dt=rk["dt"] * ctrl.dfactor)
+        tts = (rk["t1"], rk["t1"] + rk["dt"])
+        zero = jnp.zeros((), tdtype)
+        return (base, interp_zero, tts, zero, zero)
+
+    return grad_guard.guard_attempt(attempt, fallback)
+
+
 def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
                max_steps: int = 256, first_step: Optional[float] = None):
     """Reverse-differentiable bounded solve. Returns (solution, SolveStats).
@@ -220,6 +267,7 @@ def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
     carry0 = dict(rk=rk0, nfe=nfe0, nacc=jnp.asarray(0, jnp.int32),
                   nrej=jnp.asarray(0, jnp.int32), ok=jnp.asarray(True))
     interp_zero = method.interp_stack(tree_map(jnp.zeros_like, interp0))
+    guarded = _make_guarded_attempt(method, func, ctrl, tdtype, interp_zero)
 
     @jax.checkpoint
     def body_fn(c):
@@ -233,20 +281,16 @@ def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
         def live(c):
             rk = c["rk"]
             underflow = ~((rk["t1"] + rk["dt"]) > rk["t1"])
-            base, interp_att, (att_t0, att_t1), accept = _attempt_step_core(
-                method, func, rk, ctrl, tdtype)
+            # the guarded attempt masks rejected emissions to zero (every
+            # emitted slot participates in the dense-output matmul below;
+            # 0-weight × non-finite = NaN) and cuts the backward through
+            # overflowed internals — see _make_guarded_attempt
+            base, interp_out, (att_t0, att_t1), acc_f, _ = guarded(rk)
+            accept = acc_f > 0.5
             c = dict(c, rk=base, nfe=c["nfe"] + n_evals,
                      nacc=c["nacc"] + accept.astype(jnp.int32),
                      nrej=c["nrej"] + (~accept).astype(jnp.int32),
                      ok=c["ok"] & ~underflow)
-            # Mask rejected emissions to zero: every emitted slot participates
-            # in the dense-output matmul below (0-weight × non-finite = NaN),
-            # so a cleanly-rejected trial step whose interp-only leaves went
-            # inf (e.g. an overflowing y_mid combination) must not be allowed
-            # to poison all observation outputs. Rejected slots are never
-            # selectable (the cummax pins them), so zeroing is lossless.
-            interp_out = tree_where(accept, method.interp_stack(interp_att),
-                                    interp_zero)
             return c, dict(acc=accept, t0=att_t0, t1=att_t1, interp=interp_out)
 
         return jax.lax.cond(done, frozen, live, c)

@@ -59,7 +59,8 @@ _METHOD_OPTIONS = {
     "rk4": _COMMON_OPTIONS | {"step_size"},
     "explicit_adams": _COMMON_OPTIONS | {"max_order", "max_iters"},
     "fixed_adams": _COMMON_OPTIONS | {"max_order", "max_iters"},
-    "adams": _COMMON_OPTIONS | {"max_order", "time_dtype"},
+    "adams": _COMMON_OPTIONS | {"max_order", "time_dtype", "safety",
+                                "ifactor", "dfactor"},
 }
 
 
@@ -159,17 +160,20 @@ def odeint_with_stats(func: Callable, y0, t, rtol: float = 1e-7, atol: float = 1
     # time_dtype="float64" matches the reference's f64 time scalars
     # (solvers.py:28); requires jax.experimental.enable_x64() (CPU parity runs)
     time_dtype = options.get("time_dtype")
+    ctrl_kw = dict(safety=float(options.get("safety", 0.9)),
+                   ifactor=float(options.get("ifactor", 10.0)),
+                   dfactor=float(options.get("dfactor", 0.2)))
     if bool(options.get("differentiable", True)):
         return vcabm.solve_vcabm_scan(
             func, y0, t, rtol=float(rtol), atol=float(atol),
             max_order=int(options.get("max_order", 12)),
             max_steps=int(options.get("max_steps", _DEFAULT_MAX_STEPS_SCAN)),
-            time_dtype=time_dtype)
+            time_dtype=time_dtype, **ctrl_kw)
     return vcabm.solve_vcabm(func, y0, t, rtol=float(rtol), atol=float(atol),
                              max_order=int(options.get("max_order", 12)),
                              max_steps=int(options.get("max_steps",
                                                        _DEFAULT_MAX_STEPS_WHILE)),
-                             time_dtype=time_dtype)
+                             time_dtype=time_dtype, **ctrl_kw)
 
 
 def odeint(func: Callable, y0, t, rtol: float = 1e-7, atol: float = 1e-9,

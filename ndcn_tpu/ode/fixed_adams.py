@@ -93,6 +93,10 @@ def _tables():
 def solve_fixed_adams(func, y0, t, implicit: bool = True,
                       max_order: int = _MAX_ORDER, max_iters: int = _MAX_ITERS):
     """Integrate on the observation grid; returns (solution, SolveStats)."""
+    # clamp like the reference (fixed_adams.py:162 int(min(max_order, 12)));
+    # an out-of-range value would otherwise die in an opaque shape error when
+    # the static table slice silently clips but the history buffer does not
+    max_order = max(1, min(int(max_order), _MAX_ORDER))
     max_hist = max_order - 1  # 11 for the default order 12
     hist0 = tree_map(lambda y: jnp.zeros((max_hist,) + y.shape, y.dtype), y0)
 

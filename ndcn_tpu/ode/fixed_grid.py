@@ -88,6 +88,11 @@ def _solve_with_step_size(step_fn, func, y0, t, step_size):
 
     # For each observation, the bracketing grid interval [grid[i], grid[i+1]] is the
     # first with grid[i+1] >= t_obs (reference inner while, solvers.py:99-102).
+    # DELIBERATE FIX vs the reference: it rebinds y0 = y1 before calling
+    # _linear_interp (solvers.py:93-96), collapsing the slope to zero so every
+    # off-grid observation effectively gets the RIGHT-endpoint value; here the
+    # interpolation is genuinely linear between the bracketing grid states
+    # (documented in docs/PARITY.md, deviations table).
     seg = np.clip(np.searchsorted(grid[1:], t_host[1:], side="left"), 0, len(grid) - 2)
     seg_j = jnp.asarray(seg)
     g0, g1 = grid_j[seg_j], grid_j[seg_j + 1]

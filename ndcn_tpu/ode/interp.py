@@ -37,19 +37,18 @@ def dopri5_interp_init(y0):
 
 
 def dopri5_interp_eval(state, t0, t1, t):
-    """Evaluate the quartic fit at time t in [t0, t1] (interp.py:5-65)."""
+    """Evaluate the quartic fit at time t in [t0, t1] (interp.py:5-65).
+
+    Shares dopri5_interp_weights with the scan path's matmul-form evaluation —
+    ONE set of polynomial coefficients, so the while_loop inference path and
+    the differentiable training path cannot drift apart."""
     dt = t1 - t0
     x = ((t - t0) / jnp.where(dt == 0, 1.0, dt))
+    w = dopri5_interp_weights(jnp.reshape(x, (1,)), jnp.reshape(dt, (1,)))[0]
 
     def per_leaf(y0, y1, ym, f0, f1):
-        dty = dt.astype(y0.dtype)
-        xl = x.astype(y0.dtype)
-        a = -2.0 * dty * f0 + 2.0 * dty * f1 - 8.0 * y0 - 8.0 * y1 + 16.0 * ym
-        b = 5.0 * dty * f0 - 3.0 * dty * f1 + 18.0 * y0 + 14.0 * y1 - 32.0 * ym
-        c = -4.0 * dty * f0 + dty * f1 - 11.0 * y0 - 5.0 * y1 + 16.0 * ym
-        d = dty * f0
-        e = y0
-        return (((a * xl + b) * xl + c) * xl + d) * xl + e
+        wl = w.astype(y0.dtype)
+        return wl[0] * y0 + wl[1] * y1 + wl[2] * ym + wl[3] * f0 + wl[4] * f1
 
     return tree_map(per_leaf, state["y0"], state["y1"], state["y_mid"], state["f0"], state["f1"])
 

@@ -41,8 +41,13 @@ def tree_where(pred, a, b):
 
 
 def tree_dot(xs, ys):
-    """Sum of elementwise products across two pytrees, as a scalar."""
-    leaves = tree_map(lambda x, y: jnp.sum(x.astype(jnp.float32) * y.astype(jnp.float32)), xs, ys)
+    """Sum of elementwise products across two pytrees, as a scalar.
+
+    Accumulates in the leaves' own (promoted) dtype — hard-casting to f32
+    would silently degrade the adjoint's time-gradient term in float64 parity
+    runs (the reference computes it in the tensors' dtype, adjoint.py:70-75).
+    """
+    leaves = tree_map(lambda x, y: jnp.sum(x * y), xs, ys)
     return jax.tree_util.tree_reduce(jnp.add, leaves)
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ndcn_tpu.ode import grad_guard
 from ndcn_tpu.ode.adaptive import SolveStats
 from ndcn_tpu.ode.step_control import (Controller, accept_and_max_ratio,
                                        error_ratios, optimal_step_size,
@@ -74,7 +75,8 @@ def _g_and_explicit_phi(prev_t, next_t, implicit_phi, k_max):
 
 
 def _make_vcabm_machine(func, y0, t, rtol: float, atol: float, max_order: int,
-                        time_dtype=None):
+                        time_dtype=None, safety: float = 0.9,
+                        ifactor: float = 10.0, dfactor: float = 0.2):
     """Shared VCABM stepping machinery: returns (carry0, attempt, T).
 
     Reproduces the reference's control flow, including its predictor-advance quirk:
@@ -95,7 +97,10 @@ def _make_vcabm_machine(func, y0, t, rtol: float, atol: float, max_order: int,
     if time_dtype is not None:
         t = t.astype(time_dtype)
     tdtype = t.dtype
-    ctrl = Controller(rtol=rtol, atol=atol, order=0)  # order supplied per call
+    # order supplied per call; safety/ifactor/dfactor honored like the
+    # reference's VariableCoefficientAdamsBashforth kwargs (adams.py:63-64)
+    ctrl = Controller(rtol=rtol, atol=atol, safety=safety, ifactor=ifactor,
+                      dfactor=dfactor, order=0)
 
     f0 = func(t[0], y0)
     first_step = select_initial_step(func, t[0], y0, 2, rtol, atol, f0, tdtype)
@@ -186,13 +191,24 @@ def _make_vcabm_machine(func, y0, t, rtol: float, atol: float, max_order: int,
         ratios = error_ratios(local_error, st["y"], y_next, rtol, atol, tdtype)
         accept, max_ratio = accept_and_max_ratio(ratios)
 
-        # ---------------- rejected branch: shrink dt, try again (adams.py:135-138)
-        dt_rej = optimal_step_size(dt, max_ratio, ctrl._replace(order=order))
-        st_rej = dict(st, next_t=st["prev_t"][0] + dt_rej)
-
         # ---------------- accepted branch (adams.py:140-170)
         f_corr = func(next_t, y_next)
         implicit_phi = compute_implicit_phi(phi, f_corr, order + 2)
+
+        # non-finite internals force a reject with maximal dt shrink whatever
+        # the (garbage) error ratio claims — same policy as the RK attempts
+        # (adaptive._attempt_step_core); the scan path additionally cuts the
+        # backward through the poisoned evals (grad_guard)
+        finite = grad_guard.all_finite(p_next, f_pred, y_next, f_corr,
+                                       local_error)
+        accept = accept & finite
+
+        # ---------------- rejected branch: shrink dt, try again (adams.py:135-138)
+        dt_rej = jnp.where(finite,
+                           optimal_step_size(dt, max_ratio,
+                                             ctrl._replace(order=order)),
+                           dt * ctrl.dfactor)
+        st_rej = dict(st, next_t=st["prev_t"][0] + dt_rej)
 
         # order adaptation
         def err_at(k):
@@ -257,24 +273,62 @@ def _make_vcabm_machine(func, y0, t, rtol: float, atol: float, max_order: int,
             nacc=c["nacc"] + accept.astype(jnp.int32),
             nrej=c["nrej"] + (~accept).astype(jnp.int32),
             ok=c["ok"] & ~underflow)
-        return c_new, dict(reached=reached, obs_i=c["obs_i"], y_obs=p_next)
+        emit = dict(reached=reached, obs_i=c["obs_i"], y_obs=p_next)
+        return c_new, emit, finite
 
-    return carry0, attempt, T, sol0
+    emit_zero = dict(reached=jnp.asarray(False), obs_i=jnp.asarray(0, jnp.int32),
+                     y_obs=tree_map(jnp.zeros_like, carry0["st"]["y"]))
+
+    # guarded float-view attempt for the differentiable scan path: the guard
+    # requires all-inexact leaves (see grad_guard contract)
+    def attempt_f(c_f):
+        c = grad_guard.unfloat_view(c_f, carry0)
+        c_new, emit, finite = attempt(c)
+        return (grad_guard.float_view(c_new), grad_guard.float_view(emit),
+                finite.astype(jnp.float32))
+
+    def fallback_f(c_f):
+        # exact primal of a forced-reject attempt, no RHS call on the tape
+        c = grad_guard.unfloat_view(c_f, carry0)
+        st = c["st"]
+        next_t = jnp.minimum(st["next_t"], t[c["obs_i"]])
+        dt = next_t - st["prev_t"][0]
+        underflow = ~(next_t > st["prev_t"][0])
+        st_rej = dict(st, next_t=st["prev_t"][0] + dt * ctrl.dfactor)
+        c_new = dict(c, st=st_rej, nfe=c["nfe"] + 2, nrej=c["nrej"] + 1,
+                     ok=c["ok"] & ~underflow)
+        emit = dict(reached=jnp.asarray(False), obs_i=c["obs_i"],
+                    y_obs=tree_map(jnp.zeros_like, st["y"]))
+        return (grad_guard.float_view(c_new), grad_guard.float_view(emit),
+                jnp.zeros((), jnp.float32))
+
+    guarded_f = grad_guard.guard_attempt(attempt_f, fallback_f)
+
+    def attempt_scan(c):
+        c_f, emit_f, _fin = guarded_f(grad_guard.float_view(c))
+        return (grad_guard.unfloat_view(c_f, carry0),
+                grad_guard.unfloat_view(emit_f, emit_zero))
+
+    return carry0, attempt, attempt_scan, T, sol0
 
 
 def solve_vcabm(func, y0, t, rtol: float, atol: float, max_order: int = _MAX_ORDER,
-                max_steps: int = 1 << 16, time_dtype=None):
+                max_steps: int = 1 << 16, time_dtype=None, safety: float = 0.9,
+                ifactor: float = 10.0, dfactor: float = 0.2):
     """Minimal-FLOP while_loop solve (non-differentiable)."""
-    carry0, attempt, T, sol0 = _make_vcabm_machine(func, y0, t, rtol, atol,
-                                                   max_order,
-                                                   time_dtype=time_dtype)
+    carry0, attempt, _, T, sol0 = _make_vcabm_machine(func, y0, t, rtol, atol,
+                                                      max_order,
+                                                      time_dtype=time_dtype,
+                                                      safety=safety,
+                                                      ifactor=ifactor,
+                                                      dfactor=dfactor)
     carry0 = dict(carry0, sol=sol0)
 
     def cond(c):
         return (c["obs_i"] < T) & ((c["nacc"] + c["nrej"]) < max_steps) & c["ok"]
 
     def body(c):
-        c_new, emit = attempt({k: v for k, v in c.items() if k != "sol"})
+        c_new, emit, _ = attempt({k: v for k, v in c.items() if k != "sol"})
         sol = tree_map(
             lambda buf, v: jnp.where(emit["reached"],
                                      buf.at[emit["obs_i"]].set(v), buf),
@@ -290,7 +344,8 @@ def solve_vcabm(func, y0, t, rtol: float, atol: float, max_order: int = _MAX_ORD
 
 def solve_vcabm_scan(func, y0, t, rtol: float, atol: float,
                      max_order: int = _MAX_ORDER, max_steps: int = 256,
-                     time_dtype=None):
+                     time_dtype=None, safety: float = 0.9,
+                     ifactor: float = 10.0, dfactor: float = 0.2):
     """Reverse-differentiable bounded solve: exactly ``max_steps`` attempts with
     cond-skipped iterations once all observation times are reached, each step
     rematerialized in the backward pass (the same strategy as adaptive.solve_scan;
@@ -298,16 +353,19 @@ def solve_vcabm_scan(func, y0, t, rtol: float, atol: float,
     backprop-through-solver default). Observation states are emitted per step
     and scattered into the solution buffer once after the scan, so the (T, ...)
     buffer never rides in the carry."""
-    carry0, attempt, T, sol0 = _make_vcabm_machine(func, y0, t, rtol, atol,
-                                                   max_order,
-                                                   time_dtype=time_dtype)
+    carry0, _, attempt_scan, T, sol0 = _make_vcabm_machine(func, y0, t, rtol,
+                                                           atol, max_order,
+                                                           time_dtype=time_dtype,
+                                                           safety=safety,
+                                                           ifactor=ifactor,
+                                                           dfactor=dfactor)
     emit_zero = dict(reached=jnp.asarray(False), obs_i=jnp.asarray(0, jnp.int32),
                      y_obs=tree_map(jnp.zeros_like, carry0["st"]["y"]))
 
     @jax.checkpoint
     def body_fn(c):
         done = (c["obs_i"] >= T) | (~c["ok"])
-        return jax.lax.cond(done, lambda x: (x, emit_zero), attempt, c)
+        return jax.lax.cond(done, lambda x: (x, emit_zero), attempt_scan, c)
 
     final, emits = jax.lax.scan(lambda c, _: body_fn(c), carry0, None,
                                 length=max_steps)

@@ -287,3 +287,64 @@ def test_rejected_overflow_step_does_not_poison_output(method):
     np.testing.assert_allclose(np.asarray(sol[:, 0]),
                                -np.log(1.0 - np.asarray(t)), rtol=3e-2,
                                atol=1e-3)
+
+
+@pytest.mark.parametrize("method", ["dopri5", "tsit5"])
+def test_gradients_survive_rejected_overflow(method):
+    """d(loss)/d(params) must stay finite when a TRIAL step overflows and is
+    rejected: reverse-mode AD through the poisoned attempt yields 0·inf = NaN
+    in the op VJPs even with zero cotangents, so the guarded attempt's
+    backward switches to the forced-reject linearization. The same solve with
+    a sane first step gives the reference gradient; the guarded gradient must
+    match it closely (the overflowing attempts contribute ~nothing)."""
+    from ndcn_tpu.ode import odeint
+
+    t = jnp.linspace(0.0, 0.5, 6).astype(jnp.float32)
+    y0 = jnp.zeros((3,), jnp.float32)
+
+    def loss(scale, first_step):
+        def rhs(tt, y):
+            return scale * jnp.exp(y)
+        sol = odeint(rhs, y0, t, rtol=1e-3, atol=1e-6, method=method,
+                     options={"first_step": first_step, "max_steps": 64})
+        return jnp.sum(sol)
+
+    g_overflow = jax.grad(loss)(1.0, 80.0)   # first attempt overflows, rejected
+    g_clean = jax.grad(loss)(1.0, 0.01)      # never overflows
+    assert np.isfinite(float(g_overflow)), "gradient poisoned by rejected step"
+    assert np.isfinite(float(g_clean))
+    # both solves produce near-identical trajectories, so gradients agree
+    np.testing.assert_allclose(float(g_overflow), float(g_clean), rtol=5e-2)
+
+
+def test_vcabm_gradients_survive_rejected_overflow(monkeypatch):
+    """Same guard as the RK solvers, VCABM flavor: an overflowing predictor
+    attempt must neither poison the forward (forced reject + maximal shrink)
+    nor the gradient (grad_guard fallback linearization). Forced via a huge
+    Hairer initial step."""
+    import ndcn_tpu.ode.vcabm as vcabm_mod
+    from ndcn_tpu.ode import odeint, odeint_with_stats
+
+    monkeypatch.setattr(
+        vcabm_mod, "select_initial_step",
+        lambda func, t0, y0, order, rtol, atol, f0, tdtype:
+            jnp.asarray(80.0, tdtype))
+
+    t = jnp.linspace(0.0, 0.5, 6).astype(jnp.float32)
+    y0 = jnp.zeros((3,), jnp.float32)
+
+    def loss(scale):
+        def rhs(tt, y):
+            return scale * jnp.exp(y)
+        sol = odeint(rhs, y0, t, rtol=1e-3, atol=1e-6, method="adams",
+                     options={"max_steps": 128})
+        return jnp.sum(sol)
+
+    sol, stats = odeint_with_stats(
+        lambda tt, y: jnp.exp(y), y0, t, rtol=1e-3, atol=1e-6, method="adams",
+        options={"max_steps": 128})
+    assert int(stats.n_rejected) >= 1
+    assert bool(stats.success)
+    assert np.all(np.isfinite(np.asarray(sol)))
+    g = jax.grad(loss)(1.0)
+    assert np.isfinite(float(g)), "VCABM gradient poisoned by rejected step"
