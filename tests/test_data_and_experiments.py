@@ -224,7 +224,8 @@ def test_showcase_accuracy_band():
     README.md:67-72: 83.18% +/- 0.76 at 100 epochs x 5 iters): the same recipe
     truncated to 60 epochs / 1 iter must already sit in the 80-86% band on CPU
     (measured 82.0% at seed 0; a solver or model regression craters this to
-    ~60% or NaN). The full-recipe record lives in results/showcase_cora.json."""
+    ~60% or NaN). The full 100-model headline record (83.17% ± 0.98 on TPU)
+    is committed at results/showcase_cora_100.json."""
     from ndcn_tpu.experiments import dgnn
 
     summary = dgnn.main([
