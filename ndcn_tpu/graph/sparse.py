@@ -139,6 +139,11 @@ def as_operator(mat, sparse: bool = False, dtype=jnp.float32,
         return from_dense(dense, dtype)
     csr = sp.csr_matrix(mat)
     if format == "bsr":
+        if dtype != jnp.float32:
+            # the Pallas BSR packing is f32-only (MXU accumulate at HIGHEST);
+            # honoring other dtypes silently would hand back inconsistent
+            # operators across formats
+            raise ValueError(f"format='bsr' supports float32 only, got {dtype}")
         return from_scipy_bsr_graph(csr)
     if format == "coo":
         return from_scipy_coo(csr, dtype=dtype)

@@ -107,12 +107,13 @@ def _spmm_kernel(ids_ref, cols_ref, blocks_ref, x_ref, out_ref):
                              precision=jax.lax.Precision.HIGHEST)
 
 
-def bsr_spmm_raw(a: BsrMatrix, x: jnp.ndarray, block: int = BLOCK) -> jnp.ndarray:
+def bsr_spmm_raw(a: BsrMatrix, x: jnp.ndarray) -> jnp.ndarray:
     """y = A @ x for x (n_cols, d); d is padded to a lane multiple internally."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n, d = x.shape
+    block = a.blocks.shape[-1]  # the packing fixes the block size
     nrb = a.block_ids.shape[0]
     max_slots = a.block_ids.shape[1]
     ncb = -(-a.n_cols // block)
@@ -144,7 +145,11 @@ def bsr_spmm_raw(a: BsrMatrix, x: jnp.ndarray, block: int = BLOCK) -> jnp.ndarra
 
 @partial(jax.custom_vjp, nondiff_argnums=())
 def bsr_spmm(a: BsrMatrix, at: BsrMatrix, x: jnp.ndarray) -> jnp.ndarray:
-    """Differentiable (in x) BSR SpMM. ``at`` is the packing of Aᵀ for the VJP."""
+    """Differentiable (in x) BSR SpMM. ``at`` is the packing of Aᵀ for the VJP.
+
+    A / Aᵀ are CONSTANT operators: their cotangents are symbolic zero. A
+    learned-operator model must not route through this kernel (use the dense
+    path, whose fused kernel NaN-poisons the operator cotangent loudly)."""
     return bsr_spmm_raw(a, x)
 
 
@@ -188,12 +193,13 @@ def _spmm_fused_kernel(ids_ref, cols_ref, blocks_ref, x_ref, w_ref, b_ref,
 
 
 def bsr_fused_rhs_raw(a: BsrMatrix, x: jnp.ndarray, w: jnp.ndarray,
-                      b: jnp.ndarray, block: int = BLOCK) -> jnp.ndarray:
+                      b: jnp.ndarray) -> jnp.ndarray:
     """relu((A @ x) @ w + b) with A block-sparse, x (n, d), w (d, d), b (d,)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n, d = x.shape
+    block = a.blocks.shape[-1]  # the packing fixes the block size
     nrb = a.block_ids.shape[0]
     max_slots = a.block_ids.shape[1]
     ncb = -(-a.n_cols // block)

@@ -45,8 +45,11 @@ def fused_ode_rhs(a: jnp.ndarray, h: jnp.ndarray, w: jnp.ndarray,
 
     Forward runs the Pallas kernel (intermediate stays in VMEM); the backward
     pass recomputes ah = a @ h and applies the standard matmul transposes (XLA
-    fuses those well on its own). ``a`` is treated as a constant operator (its
-    cotangent is zero), matching every model in this framework.
+    fuses those well on its own). ``a`` is a CONSTANT operator: its cotangent
+    is NaN-poisoned (not zero) so differentiating a learned-operator model
+    through this kernel fails loudly instead of silently never training the
+    operator — route such models (e.g. the DeepGCN3 pattern) through the
+    plain XLA matmul path instead.
     """
     return fused_graph_rhs(a, h, w, b)
 
@@ -70,7 +73,11 @@ def _fused_bwd(res, g):
     dw = jnp.matmul(ah.T, g, preferred_element_type=jnp.float32,
                     precision=hi).astype(w.dtype)
     db = jnp.sum(g, axis=0).astype(g.dtype)
-    return jnp.zeros_like(a), dh, dw, db
+    # NaN, not zero: a silent zero cotangent would make a learned operator
+    # look like a vanishing gradient (see fused_ode_rhs docstring). Discarded
+    # for free when a is (as designed) a constant.
+    da = jnp.full_like(a, jnp.nan)
+    return da, dh, dw, db
 
 
 fused_ode_rhs.defvjp(_fused_fwd, _fused_bwd)

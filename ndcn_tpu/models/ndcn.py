@@ -39,10 +39,10 @@ def ode_func(params: Dict[str, Any], op: GraphOperator, t, h,
     (control on, no dropout; dense or BSR operator): the propagated hidden
     state never leaves VMEM between the two matmuls."""
     if fused:
-        from ndcn_tpu.graph.sparse import BsrGraph
+        from ndcn_tpu.graph.sparse import BsrGraph, DenseGraph
 
         dense_ok = (not no_graph and not no_control and drop_mask is None
-                    and hasattr(op, "mat"))
+                    and isinstance(op, DenseGraph))
         bsr_ok = (not no_graph and not no_control and drop_mask is None
                   and isinstance(op, BsrGraph))
         if dense_ok:

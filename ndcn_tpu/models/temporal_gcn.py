@@ -71,13 +71,13 @@ def temporal_gcn_forward(params: Dict[str, Any], op: GraphOperator,
         out = nn.linear_apply(params["out"], h)[0]        # (n,)
         return state, out
 
-    xs = (x_seq.T, jnp.stack(keys_tf[:T]) if use_drop else jnp.zeros((T,)))
     if not use_drop:
         def teacher_step_nd(state, xt):
             return teacher_step(state, (xt, None))
         state, outs = jax.lax.scan(teacher_step_nd, state0, x_seq.T)
     else:
-        state, outs = jax.lax.scan(teacher_step, state0, xs)
+        state, outs = jax.lax.scan(teacher_step, state0,
+                                   (x_seq.T, jnp.stack(keys_tf[:T])))
 
     if future > 0:
         def free_step(carry, key):

@@ -45,6 +45,16 @@ def make_mesh(n_devices: Optional[int] = None,
     """
     devices = jax.devices()
     n = len(devices) if n_devices is None else n_devices
+    if len(devices) < n:
+        # fail loudly here rather than with an opaque numpy reshape error:
+        # the factorization below uses the REQUESTED n while devices[:n]
+        # would silently hold fewer (the exact MULTICHIP_r01 crash mode)
+        raise ValueError(
+            f"make_mesh needs {n} devices but the "
+            f"{jax.default_backend()} platform has {len(devices)}; for a "
+            f"virtual mesh set JAX_PLATFORMS=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} before "
+            f"JAX initializes (see __graft_entry__.dryrun_multichip)")
     devices = np.asarray(devices[:n])
     if data_divides is not None or model_divides is not None:
         best = (1, 1)

@@ -194,3 +194,31 @@ def test_pallas_interpret_honors_default_device():
         assert pallas_interpret() is True
     # outside the scope the decision falls back to the process backend
     assert pallas_interpret() == (jax.default_backend() != "tpu")
+
+
+def test_fused_rhs_operator_cotangent_is_loud():
+    """Differentiating the fused kernel wrt the operator must NOT return silent
+    zeros (a learned-operator model would look like a vanishing gradient) —
+    the cotangent is NaN-poisoned; such models belong on the XLA matmul path."""
+    from ndcn_tpu.kernels.fused_rhs import fused_ode_rhs
+
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(16, 16).astype(np.float32))
+    h = jnp.asarray(rng.randn(16, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(8, 8).astype(np.float32))
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    da = jax.grad(lambda aa: jnp.sum(fused_ode_rhs(aa, h, w, b)))(a)
+    assert np.all(np.isnan(np.asarray(da)))
+    # ...while the supported cotangents stay clean
+    dh = jax.grad(lambda hh: jnp.sum(fused_ode_rhs(a, hh, w, b)))(h)
+    assert np.all(np.isfinite(np.asarray(dh)))
+
+
+def test_bsr_dtype_rejected():
+    import pytest
+    import scipy.sparse as sp
+    from ndcn_tpu.graph.sparse import as_operator
+
+    m = sp.random(64, 64, density=0.05, format="csr", random_state=0)
+    with pytest.raises(ValueError, match="float32 only"):
+        as_operator(m, sparse=True, format="bsr", dtype=jnp.bfloat16)

@@ -313,3 +313,13 @@ def test_dynamics_single_model_mesh_sparse_coo():
     assert np.isfinite(out_s["final"]["abs_error"])
     np.testing.assert_allclose(out_s["final"]["abs_error"],
                                out_u["final"]["abs_error"], rtol=1e-2)
+
+
+def test_make_mesh_too_few_devices_is_loud():
+    """Requesting more devices than the platform has must raise a clear error,
+    not an opaque numpy reshape failure (the MULTICHIP_r01 crash mode)."""
+    from ndcn_tpu.parallel.mesh import make_mesh
+
+    import pytest
+    with pytest.raises(ValueError, match="needs 1000 devices"):
+        make_mesh(1000)
