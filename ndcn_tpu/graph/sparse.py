@@ -18,7 +18,7 @@ or passed through jit/scan/grad freely.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Union
+from typing import NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -50,11 +50,21 @@ class CooGraph(NamedTuple):
     memory are O(nnz · d) — ELL pays O(n · max_degree · d), which explodes on
     power-law degree distributions, and BSR fills in ~99%-zero blocks when edges
     have no block structure. ``n`` rides along as a static field via the ints-
-    are-aux NamedTuple treatment below."""
+    are-aux NamedTuple treatment below.
+
+    ``*_t`` optionally hold the TRANSPOSE triplets (Aᵀ, sorted by its row =
+    A's column). They make the backward pass a second SORTED segment-sum —
+    without them, autodiff turns the gather's VJP into an UNSORTED scatter-add
+    over the columns, which is catastrophically slow on TPU (~100x the sorted
+    form at 2M edges). The operator itself is constant (zero cotangent), like
+    every model in this framework."""
     rows: jnp.ndarray  # (nnz,) int32, sorted
     cols: jnp.ndarray  # (nnz,) int32
     vals: jnp.ndarray  # (nnz,)
-    n: int             # static: number of nodes (segment count)
+    rows_t: Optional[jnp.ndarray] = None  # (nnz,) int32, sorted (rows of Aᵀ)
+    cols_t: Optional[jnp.ndarray] = None
+    vals_t: Optional[jnp.ndarray] = None
+    n: int = 0         # static: number of nodes (segment count)
 
     @property
     def n_nodes(self) -> int:
@@ -65,7 +75,7 @@ class CooGraph(NamedTuple):
 # of tracing by registering a custom flatten for CooGraph.
 jax.tree_util.register_pytree_node(
     CooGraph,
-    lambda g: ((g.rows, g.cols, g.vals), g.n),
+    lambda g: ((g.rows, g.cols, g.vals, g.rows_t, g.cols_t, g.vals_t), g.n),
     lambda n, children: CooGraph(*children, n=n),
 )
 
@@ -120,9 +130,16 @@ def from_scipy_bsr_graph(mat: sp.spmatrix) -> BsrGraph:
 def from_scipy_coo(mat: sp.spmatrix, dtype=jnp.float32) -> CooGraph:
     coo = sp.coo_matrix(mat)
     order = np.argsort(coo.row, kind="stable")
+    # transpose triplets (Aᵀ sorted by ITS row = A's column): the backward's
+    # dx = Aᵀḡ then runs as a sorted segment-sum instead of an unsorted
+    # scatter-add (see CooGraph docstring)
+    order_t = np.argsort(coo.col, kind="stable")
     return CooGraph(rows=jnp.asarray(coo.row[order].astype(np.int32)),
                     cols=jnp.asarray(coo.col[order].astype(np.int32)),
                     vals=jnp.asarray(coo.data[order], dtype),
+                    rows_t=jnp.asarray(coo.col[order_t].astype(np.int32)),
+                    cols_t=jnp.asarray(coo.row[order_t].astype(np.int32)),
+                    vals_t=jnp.asarray(coo.data[order_t], dtype),
                     n=int(coo.shape[0]))
 
 
@@ -153,6 +170,44 @@ def as_operator(mat, sparse: bool = False, dtype=jnp.float32,
     return from_scipy(csr, dtype=dtype)
 
 
+def _coo_apply(rows, cols, vals, n: int, x: jnp.ndarray) -> jnp.ndarray:
+    """Sorted segment-sum SpMV over explicit triplets."""
+    if x.ndim == 2 and x.shape[1] == 1:
+        # 1-D fast path: (nnz, 1) intermediates tile to (8, 128) on TPU —
+        # a 128x HBM padding blowup (1.05 GB for a 2.2M-edge graph, per the
+        # 200k-node OOM dump); flat (nnz,) arrays tile to (1024,) unpadded
+        contrib = vals.astype(x.dtype) * jnp.take(x[:, 0], cols)
+        out = jax.ops.segment_sum(contrib, rows, num_segments=n,
+                                  indices_are_sorted=True)
+        return out[:, None]
+    contrib = vals.astype(x.dtype)[:, None] * jnp.take(x, cols, axis=0)
+    return jax.ops.segment_sum(contrib, rows, num_segments=n,
+                               indices_are_sorted=True)
+
+
+@jax.custom_vjp
+def _coo_matvec(op: "CooGraph", x: jnp.ndarray) -> jnp.ndarray:
+    """COO A·X whose backward is a SORTED segment-sum over the transpose
+    triplets. Without this, the gather's autodiff VJP is an unsorted
+    scatter-add over the columns — measured ~100x slower on TPU at 2M edges
+    (it was the entire cost of the 200k-node train step). The operator is a
+    CONSTANT (zero cotangent), like the BSR kernels — learned-operator models
+    must use the dense path."""
+    return _coo_apply(op.rows, op.cols, op.vals, op.n, x)
+
+
+def _coo_matvec_fwd(op, x):
+    return _coo_apply(op.rows, op.cols, op.vals, op.n, x), op
+
+
+def _coo_matvec_bwd(op, g):
+    dx = _coo_apply(op.rows_t, op.cols_t, op.vals_t, op.n, g)
+    return None, dx
+
+
+_coo_matvec.defvjp(_coo_matvec_fwd, _coo_matvec_bwd)
+
+
 def matvec(op: GraphOperator, x: jnp.ndarray) -> jnp.ndarray:
     """A @ X for X of shape (n, d). The hot op of every model RHS."""
     custom = getattr(op, "_matvec", None)
@@ -165,9 +220,9 @@ def matvec(op: GraphOperator, x: jnp.ndarray) -> jnp.ndarray:
 
         return bsr_spmm(op.fwd, op.bwd, x)
     if isinstance(op, CooGraph):
-        contrib = op.vals.astype(x.dtype)[:, None] * jnp.take(x, op.cols, axis=0)
-        return jax.ops.segment_sum(contrib, op.rows, num_segments=op.n,
-                                   indices_are_sorted=True)
+        if op.rows_t is not None:
+            return _coo_matvec(op, x)
+        return _coo_apply(op.rows, op.cols, op.vals, op.n, x)
     gathered = jnp.take(x, op.cols, axis=0)          # (n, k, d)
     return jnp.einsum("nk,nkd->nd", op.vals.astype(x.dtype), gathered)
 

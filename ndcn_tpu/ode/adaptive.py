@@ -221,8 +221,9 @@ def _make_guarded_attempt(method: AdaptiveMethod, func, ctrl: Controller,
     def attempt(rk):
         base, interp_att, tts, accept, finite = _attempt_step_core(
             method, func, rk, ctrl, tdtype)
-        interp_out = tree_where(accept, method.interp_stack(interp_att),
-                                interp_zero)
+        stacked_flat = tree_map(lambda l: l.reshape(-1),
+                                method.interp_stack(interp_att))
+        interp_out = tree_where(accept, stacked_flat, interp_zero)
         return (base, interp_out, tts, accept.astype(tdtype),
                 finite.astype(tdtype))
 
@@ -266,7 +267,13 @@ def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
 
     carry0 = dict(rk=rk0, nfe=nfe0, nacc=jnp.asarray(0, jnp.int32),
                   nrej=jnp.asarray(0, jnp.int32), ok=jnp.asarray(True))
-    interp_zero = method.interp_stack(tree_map(jnp.zeros_like, interp0))
+    # Emissions are FLATTENED per leaf: (C, *shape) → (C·numel,). The scan
+    # output then has a large minor dimension, so the TPU's (8, 128) tiling
+    # pads it by ~nothing — emitting (S, C, n, d) with a small d in the
+    # 128-lane minor position padded the buffer 6.4x at d=20 (11.4 GB instead
+    # of 1.8 GB for a 200k-node solve: the exact shape the OOM dump showed).
+    interp_tmpl = method.interp_stack(tree_map(jnp.zeros_like, interp0))
+    interp_zero = tree_map(lambda l: l.reshape(-1), interp_tmpl)
     guarded = _make_guarded_attempt(method, func, ctrl, tdtype, interp_zero)
 
     @jax.checkpoint
@@ -318,14 +325,14 @@ def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
     sel = (idx[:, None] == jnp.arange(max_steps)[None, :])  # (O, S) one-hot
     w_full = (sel[:, :, None] * w[:, None, :]).reshape(t.shape[0] - 1, -1)
 
-    def eval_leaf(buf):  # (S, C, *shape)
-        flat = buf.reshape(buf.shape[0] * buf.shape[1], -1)
+    def eval_leaf(buf, tmpl):  # buf (S, C·numel) flat; tmpl (C, *shape)
+        flat = buf.reshape(buf.shape[0] * tmpl.shape[0], -1)
         out = jnp.matmul(w_full.astype(buf.dtype), flat,
                          precision=jax.lax.Precision.HIGHEST,
                          preferred_element_type=buf.dtype)
-        return out.reshape((w_full.shape[0],) + buf.shape[2:])
+        return out.reshape((w_full.shape[0],) + tmpl.shape[1:])
 
-    ys_obs = tree_map(eval_leaf, steps["interp"])
+    ys_obs = tree_map(eval_leaf, steps["interp"], interp_tmpl)
     sol = tree_map(lambda y, ys: jnp.concatenate([y[None], ys], axis=0), y0, ys_obs)
 
     stats = SolveStats(nfe=final["nfe"], n_accepted=final["nacc"],

@@ -252,3 +252,19 @@ def test_dgnn_elastic_budget_recovery(monkeypatch):
     out = run(args)
     assert out["elastic_retries"] >= 1
     assert np.isfinite(out["rows"][0][1])  # test loss
+
+
+def test_large_graph_scale_demo_small():
+    """The sparse end-to-end scale demo (examples/large_graph.py) at toy size:
+    ground truth solves, the budget probe sizes the scan, and training reduces
+    the relative loss — the same path that runs at 200k+ nodes on TPU."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "large_graph", os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "large_graph.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    relf, rel0 = mod.main(["--n", "512", "--deg", "6", "--iters", "8",
+                           "--platform", "cpu"])
+    assert np.isfinite(relf)
+    assert relf < rel0  # training moved the loss down

@@ -136,3 +136,35 @@ def test_grid_block_initial_value():
     vals = set(np.unique(x0).tolist())
     assert vals == {0.0, 17.0, 20.0, 25.0}
     assert float(x0.sum()) > 0
+
+
+def test_coo_custom_vjp_matches_dense_gradient():
+    """The COO matvec's sorted-transpose backward (CooGraph.*_t) must equal the
+    dense operator's gradient — on an ASYMMETRIC operator, so a wrong
+    transpose (e.g. reusing the forward triplets) fails loudly."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(7)
+    dense = (rng.rand(40, 40) * (rng.rand(40, 40) < 0.15)).astype(np.float32)
+    np.fill_diagonal(dense, 0)
+    op_coo = as_operator(sp.csr_matrix(dense), sparse=True, format="coo")
+    op_dense = from_dense(dense)
+    assert op_coo.rows_t is not None  # transpose triplets built
+
+    x = jnp.asarray(rng.randn(40, 6).astype(np.float32))
+    ct = jnp.asarray(rng.randn(40, 6).astype(np.float32))
+
+    def loss(o, xx):
+        return jnp.sum(matvec(o, xx) * ct)
+
+    g_coo = jax.grad(loss, argnums=1)(op_coo, x)
+    g_dense = jax.grad(loss, argnums=1)(op_dense, x)
+    np.testing.assert_allclose(np.asarray(g_coo), np.asarray(g_dense),
+                               rtol=1e-5, atol=1e-5)
+    # d=1 fast path too
+    x1 = x[:, :1]; ct1 = ct[:, :1]
+    g1 = jax.grad(lambda xx: jnp.sum(matvec(op_coo, xx) * ct1))(x1)
+    gd1 = jax.grad(lambda xx: jnp.sum(matvec(op_dense, xx) * ct1))(x1)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(gd1), rtol=1e-5,
+                               atol=1e-5)
