@@ -250,7 +250,19 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
 
         sgd_step = make_sgd_step(opt, train_objective)
         train_step = _partial(jax.jit, donate_argnums=(0, 1))(sgd_step)
-        eval_logits = jax.jit(lambda p: a(p, None, deterministic=True)[0])
+
+        def _eval(p):
+            logits, ok = a(p, None, deterministic=True)
+            if ok is not None:
+                # eval-side budget exhaustion must poison the metrics: the
+                # deterministic re-forward can outgrow a budget the dropout-
+                # masked train solve still fits, and finite-but-truncated
+                # logits would corrupt val/test metrics silently (the elastic
+                # check watches the full stats vector for exactly this)
+                logits = jnp.where(ok, logits, jnp.nan)
+            return logits
+
+        eval_logits = jax.jit(_eval)
 
         def epoch_step(q, s, rng):
             q, s, loss_train, train_logits = train_step(q, s, rng)
@@ -315,14 +327,17 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
             est = r * per_replica // data_size
             budget = int(0.85 * accelerator_memory_limit())
             if est > budget:
-                suggested = max(1, data_size * (budget // per_replica))
+                fit = data_size * (budget // per_replica)
+                advice = (f"run batches of <= {fit} replicas instead (or "
+                          f"reduce --hidden/--max_steps)" if fit >= 1 else
+                          "not even ONE replica fits this budget — reduce "
+                          "--hidden/--max_steps")
                 raise SystemExit(
                     f"--batch_iters with {r} replicas needs ~{est / 1e9:.1f} GB "
                     f"of HBM per device for solver buffers "
                     f"(~{per_replica / 1e6:.0f} MB each over {data_size} "
                     f"data-parallel device(s), budget {budget / 1e9:.1f} GB); "
-                    f"run batches of <= {suggested} replicas instead (or "
-                    f"reduce --hidden/--max_steps)")
+                    f"{advice}")
         init_one = {
             "GCN": lambda k: gcn_zoo.init_gcn(k, in_dim, args.hidden, num_classes, nhl),
             "DeepGCN": lambda k: gcn_zoo.init_deep_gcn(k, in_dim, args.hidden,
@@ -452,54 +467,64 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     for it in range(args.iter):
         t_start = time.time()
         pending = None  # (epoch, device stats, wall time) — printed one epoch late
-        cand = None     # (epoch, key, state copy) awaiting validation
-        elastic.snapshot(0, key, (params, opt_state))
+        cand = None     # (cursor, key, state copy) awaiting validation
+        # snapshot cursors are GLOBAL (it·epochs + epoch): the elastic retry
+        # counter resets only when a snapshot lands strictly PAST the last
+        # rollback point, so a per-iter epoch restarting at 0 would never
+        # signal progress and max_retries would count rollbacks across the
+        # whole multi-iter run instead of consecutive failures
+        g0 = it * args.epochs
+        elastic.snapshot(g0, key, (params, opt_state))
         epoch = 0
+
+        def drain_pending():
+            """Validate the one-epoch-late stats (the FULL vector: the eval
+            re-forward shares the snug budget, so a NaN val metric with a
+            finite train loss is still exhaustion). Returns the epoch to
+            resume from after a rollback, or None when healthy."""
+            nonlocal pending, cand, key, params, opt_state, sgd_step, \
+                epoch_step, eval_logits
+            if pending is None:
+                return None
+            failed_epoch, st_dev, dt = pending
+            st_np = np.asarray(st_dev)
+            if elastic.exhausted(st_np):
+                cursor, key, (params, opt_state) = elastic.rollback()
+                resume = cursor - g0
+                print(f"[elastic] step budget exhausted near epoch "
+                      f"{failed_epoch}; rolled back to epoch {resume} with "
+                      f"max_steps={elastic.max_steps}", flush=True)
+                apply_new = make_apply(elastic.max_steps)
+                sgd_step, epoch_step, eval_logits = build_fns(apply_new)
+                pending = cand = None
+                return resume
+            print_epoch(it, failed_epoch, st_np, dt)
+            return None
+
         while True:
             while epoch < args.epochs:
                 t_epoch = time.time()
                 if elastic.enabled and epoch % snap_freq == 0:
                     # async device copy; promoted below once validated
-                    cand = (epoch, key, device_copy((params, opt_state)))
+                    cand = (g0 + epoch, key, device_copy((params, opt_state)))
                 key, rng = jax.random.split(key)
                 # train + eval re-forward + stats in ONE dispatch (build_fns)
                 params, opt_state, st_dev = epoch_step(params, opt_state, rng)
                 # fetch the PREVIOUS epoch's stats now: its transfer overlapped
                 # with this epoch's compute, hiding the ~30 ms tunnel round trip
-                if pending is not None:
-                    # the FULL stats vector is monitored: the eval re-forward
-                    # shares the snug budget, so a NaN val metric with a
-                    # finite train loss is still exhaustion, not health
-                    st_np = np.asarray(pending[1])
-                    if elastic.exhausted(st_np):
-                        prev = epoch
-                        epoch, key, (params, opt_state) = elastic.rollback()
-                        print(f"[elastic] step budget exhausted near epoch "
-                              f"{prev}; rolled back to epoch {epoch} with "
-                              f"max_steps={elastic.max_steps}", flush=True)
-                        apply_new = make_apply(elastic.max_steps)
-                        sgd_step, epoch_step, eval_logits = build_fns(apply_new)
-                        pending = cand = None
-                        continue
-                    print_epoch(it, pending[0], st_np, pending[2])
+                resume = drain_pending()
+                if resume is not None:
+                    epoch = resume
+                    continue
                 if cand is not None:
                     elastic.snapshot(*cand, copy=False)
                     cand = None
                 pending = (epoch, st_dev, time.time() - t_epoch)
                 epoch += 1
-            if pending is not None:
-                st_np = np.asarray(pending[1])
-                if elastic.exhausted(st_np):
-                    prev = epoch
-                    epoch, key, (params, opt_state) = elastic.rollback()
-                    print(f"[elastic] step budget exhausted near epoch {prev}; "
-                          f"rolled back to epoch {epoch} with "
-                          f"max_steps={elastic.max_steps}", flush=True)
-                    apply_new = make_apply(elastic.max_steps)
-                    sgd_step, epoch_step, eval_logits = build_fns(apply_new)
-                    pending = cand = None
-                    continue
-                print_epoch(it, pending[0], st_np, pending[2])
+            resume = drain_pending()
+            if resume is not None:
+                epoch = resume
+                continue
             break
         print("Optimization Finished!")
         t_total = time.time() - t_start

@@ -298,6 +298,13 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
             if continuous:
                 pred, stats = forward(p, t_full, true_y0)
                 nfe = stats.nfe if stats is not None else jnp.asarray(0)
+                if stats is not None:
+                    # budget exhaustion must be loud HERE too: the full-grid
+                    # eval solve can outgrow a budget the train solve still
+                    # fits, and a finite-but-truncated trajectory would record
+                    # silently wrong test losses (and starve the elastic
+                    # rollback check, which watches ev['loss'])
+                    pred = jnp.where(stats.success, pred, jnp.nan)
             else:
                 pred, _ = forward(p, None, true_y_train, future=len(id_test))
                 nfe = jnp.asarray(0)
@@ -454,15 +461,23 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
     loss = rel = jnp.asarray(0.0)
     profiled = False
     def periodic_hooks(itr, loss, rel):
-        nonlocal profiled, rng, params, opt_state
+        nonlocal profiled
         if args.profile_dir and not profiled and itr > 2:
-            # trace a handful of steady-state iterations (skip compiles)
+            # trace a handful of steady-state iterations on throwaway COPIES:
+            # the profiled steps must not advance the real params/opt/rng
+            # stream, or a profiled run trains niters+3 steps and an elastic
+            # rollback replay diverges from the original trajectory
+            from ndcn_tpu.train.elastic import device_copy
+
+            p_prof, s_prof = device_copy((params, opt_state))
+            prof_rng = jax.random.fold_in(rng, 50)
             with profile_trace(args.profile_dir):
+                ploss = loss
                 for _ in range(3):
-                    rng, step_rng = jax.random.split(rng)
-                    params, opt_state, loss, rel = train_step(params, opt_state,
-                                                              step_rng)
-                jax.block_until_ready(loss)
+                    prof_rng, step_rng = jax.random.split(prof_rng)
+                    p_prof, s_prof, ploss, _ = train_step(p_prof, s_prof,
+                                                          step_rng)
+                jax.block_until_ready(ploss)
             profiled = True
             print(f"[profile] trace written to {args.profile_dir}")
         if args.ckpt_dir and itr % args.ckpt_freq == 0:

@@ -44,7 +44,9 @@ def main(argv=None):
             cell_args.alpha = float(alpha)
             cell_args.dump = False
             out = run(cell_args)
-            grid[i, j] = out["rows"][-1][2]
+            # multi-replica runs (--batch_iters / --iter > 1) report the mean
+            # accuracy; rows[-1][2] would be one arbitrary replica's number
+            grid[i, j] = out.get("acc_mean") or out["rows"][-1][2]
             print(f"[sweep] T={t_val} alpha={alpha} acc={grid[i, j]:.4f}",
                   flush=True)
 

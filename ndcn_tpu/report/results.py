@@ -81,6 +81,11 @@ def summarize_directory(directory: str, suffix: str) -> Dict[str, Any]:
     rel_err2: List[float] = []
     for filename in sorted(glob.glob(os.path.join(directory, f"*.{suffix}"))):
         r = load_results(filename)
+        if not r.get("abs_error"):
+            # a run that never reached a test_freq boundary dumps empty eval
+            # lists; skip it instead of crashing the whole aggregation
+            print(f"[summarize] skipping {filename}: no recorded evals")
+            continue
         abs_err.append(r["abs_error"][-1])
         rel_err.append(r["rel_error"][-1])
         if r.get("abs_error2"):
