@@ -10,6 +10,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 import ndcn_tpu
@@ -47,4 +48,9 @@ for i in range(1, 301):
     rng, k = jax.random.split(rng)
     params, opt_state, loss, rel = step(params, opt_state, k)
     if i % 50 == 0:
+        # loss is the NaN-poisoned value: budget exhaustion must be visible
+        # here (the un-poisoned rel alone would keep printing plausible
+        # numbers while gradients are zero and nothing trains)
+        assert np.isfinite(float(loss)), \
+            "step budget exhausted (max_steps=24) — raise it for this config"
         print(f"iter {i:4d}  relative L1 {float(rel):.4f}")

@@ -12,9 +12,12 @@ import sys
 # Force-override: the ambient environment may export JAX_PLATFORMS=axon (TPU
 # tunnel), whose remote compiles are far too slow for a unit-test loop.
 os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# strip any ambient device-count flag (e.g. =4 left over from a dryrun
+# experiment) and set OUR 8 — a substring check would keep the wrong value
+_flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+          if "xla_force_host_platform_device_count" not in f]
+_flags.append("--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = " ".join(_flags)
 
 # repo root on sys.path so `import ndcn_tpu` works without installation
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -25,7 +25,6 @@ def main():
     import torch
     import torchdiffeq as ode
 
-    sys.path.insert(0, os.path.dirname(OUT.rsplit("/tests", 1)[0]) or ".")
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo_root)
     from ndcn_tpu.graph import generators, operators

@@ -44,9 +44,10 @@ def make_dataset(name: str, n: int, n_features: int, n_classes: int,
     src = rng.randint(0, n, size=n_edges)
     dst = rng.randint(0, n, size=n_edges)
     same = rng.rand(n_edges) < 0.7  # homophilous edges rewired within class
+    by_class = [np.flatnonzero(labels == c) for c in range(n_classes)]
     for s, d, hm in zip(src, dst, same):
         if hm and labels[s] != labels[d]:
-            candidates = np.flatnonzero(labels == labels[s])
+            candidates = by_class[labels[s]]
             d = int(candidates[rng.randint(len(candidates))])
         if s != d:
             graph[int(s)].append(int(d))
