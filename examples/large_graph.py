@@ -171,7 +171,12 @@ def main(argv=None):
     dt = time.time() - t_run
     steps_per_s = args.iters / dt
     relf = float(rel)
-    assert np.isfinite(relf), "training diverged or exhausted the step budget"
+    # the NaN-poisoned loss (not relf, which is computed pre-poisoning) is the
+    # exhaustion signal — asserting relf alone would let a budget-exhausted run
+    # report plausible-but-stalled numbers
+    assert np.isfinite(float(loss)), \
+        "training diverged or exhausted the step budget"
+    assert np.isfinite(relf)
 
     print(json.dumps({
         "n_nodes": n, "nnz": int(adj.nnz),

@@ -180,27 +180,41 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         max_steps = args.max_steps
         budget_is_auto = False
         if max_steps <= 0 and args.method in ("dopri5", "tsit5"):
-            from ndcn_tpu.train.budget import probe_step_budget, to_cpu
+            from ndcn_tpu.train.budget import (probe_step_budget,
+                                               probe_step_budget_multi, to_cpu)
 
             # step counts don't depend on the operator LAYOUT (same matrix), so
             # the CPU probe uses COO when the chosen format is the Pallas BSR
             # kernel — interpret-mode pallas at pubmed scale takes minutes
             op_probe = (as_operator(data.operator, sparse=True, format="coo")
                         if args.sparse_format == "bsr" and use_sparse else op)
-            params_c, op_c, feats_c, vt_c = to_cpu(
-                (params, op_probe, features, vt_model))
+            op_c, feats_c, vt_c = to_cpu((op_probe, features, vt_model))
 
-            def probe():
-                _, stats = ndcn_forward(
-                    params_c, op_c, vt_c, feats_c, rtol=args.rtol,
-                    atol=args.atol, method=args.method, terminal=True,
-                    no_control=no_control, max_steps=1 << 14, adjoint=False,
-                    nondiff=True)
-                return stats
+            def probe_with(p):
+                p_c = to_cpu(p)
 
+                def probe():
+                    _, stats = ndcn_forward(
+                        p_c, op_c, vt_c, feats_c, rtol=args.rtol,
+                        atol=args.atol, method=args.method, terminal=True,
+                        no_control=no_control, max_steps=1 << 14, adjoint=False,
+                        nondiff=True)
+                    return stats
+
+                return probe
+
+            probe = probe_with(params)
             if args.batch_iters:
-                # a vmapped sweep cannot roll back one replica: size generously
-                max_steps = probe_step_budget(probe)
+                # a vmapped sweep cannot roll back one replica: size for the
+                # HARDEST of several probed replica inits (the sweep's actual
+                # init keys, split below), with generous headroom
+                enc_layers = 2 if model_name == "odeGCN" else 1
+                rkeys = jax.random.split(init_key, args.iter)
+                probes = [probe_with(init_ndcn(
+                    rkeys[i], in_dim, args.hidden, num_classes,
+                    no_control=no_control, encoder_layers=enc_layers))
+                    for i in range(min(4, args.iter))]
+                max_steps = probe_step_budget_multi(probes)
             else:
                 # snug budget: the epoch loop below recovers from exhaustion
                 # by rollback + budget doubling (train/elastic.py)

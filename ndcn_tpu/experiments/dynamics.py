@@ -72,7 +72,8 @@ def build_parser(name: str) -> argparse.ArgumentParser:
                    help="write a jax.profiler trace of training iterations here")
     p.add_argument("--fused_kernel", action="store_true",
                    help="route the NDCN RHS through the fused Pallas kernel "
-                        "(dense operator, control on, dropout 0)")
+                        "where measured-profitable (dense/BSR operator, "
+                        "control on, dropout 0; fused='auto' dispatch)")
     p.add_argument("--scan_chunk", type=int, default=0,
                    help="run this many training steps per device dispatch "
                         "(lax.scan chunking; 0 = one dispatch per step). "
@@ -199,26 +200,39 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
 
         max_steps = args.max_steps
         if max_steps <= 0 and args.method in ("dopri5", "tsit5"):
-            from ndcn_tpu.train.budget import probe_step_budget, to_cpu
+            from ndcn_tpu.train.budget import (probe_step_budget,
+                                               probe_step_budget_multi, to_cpu)
 
             # probe over COO when the training format is the Pallas BSR kernel:
             # step counts don't depend on the operator layout, and interpret-
             # mode pallas on the CPU probe is minutes-slow at large n
             op_probe = (as_operator(om_np, sparse=True, format="coo")
                         if args.sparse and args.sparse_format == "bsr" else op)
-            params_c, op_c, t_c, y0_c = to_cpu(
-                (params, op_probe, jnp.asarray(t_np), true_y0))
+            op_c, t_c, y0_c = to_cpu((op_probe, jnp.asarray(t_np), true_y0))
 
-            def probe():
-                _, stats = ndcn_forward(
-                    params_c, op_c, t_c, y0_c,
-                    rtol=args.rtol, atol=args.atol, method=args.method,
-                    max_steps=1 << 14, nondiff=True, **flags)
-                return stats
+            def probe_with(p):
+                p_c = to_cpu(p)
 
+                def probe():
+                    _, stats = ndcn_forward(
+                        p_c, op_c, t_c, y0_c,
+                        rtol=args.rtol, atol=args.atol, method=args.method,
+                        max_steps=1 << 14, nondiff=True, **flags)
+                    return stats
+
+                return probe
+
+            probe = probe_with(params)
             if args.replicas > 1:
-                # a vmapped sweep cannot roll back one replica: size generously
-                max_steps = probe_step_budget(probe)
+                # a vmapped sweep cannot roll back one replica: size for the
+                # HARDEST of several probed replica inits (same keys the sweep
+                # initializes from below), still with generous headroom
+                rkeys = jax.random.split(key, args.replicas)
+                probes = [probe_with(init_ndcn(
+                    rkeys[i], 1, args.hidden, 1, no_embed=flags["no_embed"],
+                    no_control=flags["no_control"]))
+                    for i in range(min(4, args.replicas))]
+                max_steps = probe_step_budget_multi(probes)
             else:
                 # snug budget: exhaustion is recoverable (elastic rollback in
                 # the training loop below), and every frozen scan slot costs
@@ -241,7 +255,7 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
                     p, op, vt, y0, rtol=args.rtol, atol=args.atol,
                     method=args.method, dropout=args.dropout, rng=rng,
                     adjoint=args.adjoint, max_steps=ms,
-                    fused=args.fused_kernel, **flags)
+                    fused="auto" if args.fused_kernel else False, **flags)
                 return jnp.squeeze(out, -1).T, stats    # (n, T)
 
             def train_loss(p, rng):

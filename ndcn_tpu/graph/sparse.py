@@ -191,8 +191,10 @@ def _coo_matvec(op: "CooGraph", x: jnp.ndarray) -> jnp.ndarray:
     triplets. Without this, the gather's autodiff VJP is an unsorted
     scatter-add over the columns — measured ~100x slower on TPU at 2M edges
     (it was the entire cost of the 200k-node train step). The operator is a
-    CONSTANT (zero cotangent), like the BSR kernels — learned-operator models
-    must use the dense path."""
+    CONSTANT: its value cotangents are NaN-poisoned (not zero) so a
+    learned-sparse-operator model differentiating through this path fails
+    loudly instead of silently never training the operator (same policy as
+    kernels/fused_rhs) — route such models through the dense path."""
     return _coo_apply(op.rows, op.cols, op.vals, op.n, x)
 
 
@@ -200,9 +202,24 @@ def _coo_matvec_fwd(op, x):
     return _coo_apply(op.rows, op.cols, op.vals, op.n, x), op
 
 
+def _nan_cotangent(leaf):
+    """NaN for float leaves (loud), float0 zero for int index leaves (the only
+    well-typed tangent for integer primals)."""
+    if leaf is None:
+        return None
+    if jnp.issubdtype(leaf.dtype, jnp.floating):
+        return jnp.full_like(leaf, jnp.nan)
+    return np.zeros(leaf.shape, jax.dtypes.float0)
+
+
 def _coo_matvec_bwd(op, g):
     dx = _coo_apply(op.rows_t, op.cols_t, op.vals_t, op.n, g)
-    return None, dx
+    dop = CooGraph(rows=_nan_cotangent(op.rows), cols=_nan_cotangent(op.cols),
+                   vals=_nan_cotangent(op.vals),
+                   rows_t=_nan_cotangent(op.rows_t),
+                   cols_t=_nan_cotangent(op.cols_t),
+                   vals_t=_nan_cotangent(op.vals_t), n=op.n)
+    return dop, dx
 
 
 _coo_matvec.defvjp(_coo_matvec_fwd, _coo_matvec_bwd)

@@ -28,38 +28,62 @@ from ndcn_tpu.ode import odeint_with_stats
 from ndcn_tpu.ode.adjoint import odeint_adjoint
 
 
+def fused_profitable(kind: str, width: int) -> bool:
+    """Measured fused-vs-unfused winner per (operator kind, hidden width) on
+    TPU v5e-1 — the crossover table in docs/PARITY.md (fused-kernel section).
+    The dense fused kernel wins across widths (the A·h round-trip it saves
+    grows with n·width); the BSR fused epilogue only beats the unfused
+    spmm+XLA-matmul once the control matmul is wide enough to dominate the
+    block-gather DMAs."""
+    if kind == "dense":
+        return True
+    return width >= 512
+
+
 def ode_func(params: Dict[str, Any], op: GraphOperator, t, h,
              no_graph: bool = False, no_control: bool = False,
              drop_mask: Optional[jnp.ndarray] = None,
-             fused: bool = False) -> jnp.ndarray:
+             fused=False) -> jnp.ndarray:
     """The learned RHS. ``drop_mask`` is a fixed inverted-dropout mask (see
     models/nn.dropout_mask for why it is not resampled per eval).
 
-    ``fused=True`` routes the full relu((A h) W + b) through a Pallas kernel
-    (control on, no dropout; dense or BSR operator): the propagated hidden
-    state never leaves VMEM between the two matmuls."""
+    ``fused`` routes the full relu((A h) W + b) through a Pallas kernel
+    (control on, no dropout; dense or BSR operator), keeping the propagated
+    hidden state in VMEM between the two matmuls:
+    - False: never fuse.
+    - True: FORCE the fused kernel; the configuration must be fusable
+      (ValueError otherwise — a silently-unfused run would spend 100% of
+      training off the requested path).
+    - "auto": fuse when fusable AND measured-profitable per (kind, width)
+      (``fused_profitable``); silently run the standard path otherwise. This
+      is what the drivers' --fused_kernel flag passes."""
     if fused:
         from ndcn_tpu.graph.sparse import BsrGraph, DenseGraph
 
-        dense_ok = (not no_graph and not no_control and drop_mask is None
-                    and isinstance(op, DenseGraph))
-        bsr_ok = (not no_graph and not no_control and drop_mask is None
-                  and isinstance(op, BsrGraph))
-        if dense_ok:
+        fusable = not no_graph and not no_control and drop_mask is None
+        dense_ok = fusable and isinstance(op, DenseGraph)
+        bsr_ok = fusable and isinstance(op, BsrGraph)
+        if fused is not True and fused != "auto":
+            raise ValueError(f"fused must be False, True or 'auto'; got {fused!r}")
+        if fused is True and not (dense_ok or bsr_ok):
+            # an explicitly requested-but-impossible fused path fails at trace
+            # time (like as_operator's dtype check)
+            raise ValueError(
+                "fused=True requires a dense or BSR operator with control on "
+                f"and dropout 0 (got {type(op).__name__}, no_graph={no_graph}, "
+                f"no_control={no_control}, "
+                f"dropout={'on' if drop_mask is not None else 'off'}); "
+                "use fused='auto' (or drop the flag) for the standard path")
+        width = h.shape[-1]
+        if dense_ok and (fused is True or fused_profitable("dense", width)):
             from ndcn_tpu.kernels.fused_rhs import fused_ode_rhs
 
             return fused_ode_rhs(op.mat, h, params["wt"]["w"], params["wt"]["b"])
-        if bsr_ok:
+        if bsr_ok and (fused is True or fused_profitable("bsr", width)):
             from ndcn_tpu.kernels.bsr_spmm import bsr_fused_rhs
 
             return bsr_fused_rhs(op.fwd, op.bwd, h, params["wt"]["w"],
                                  params["wt"]["b"])
-        import warnings
-
-        # fires once per trace (this function runs under jit), not per call
-        warnings.warn("fused RHS requested but unusable (needs a dense or BSR "
-                      "operator, control on, dropout 0); tracing the unfused "
-                      "path instead")
     if not no_graph:
         h = matvec(op, h)
     if not no_control:

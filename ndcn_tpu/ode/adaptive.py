@@ -35,7 +35,8 @@ from ndcn_tpu.ode.runge_kutta import runge_kutta_step
 from ndcn_tpu.ode.step_control import (Controller, accept_and_max_ratio,
                                        error_ratios, optimal_step_size,
                                        select_initial_step)
-from ndcn_tpu.ode.tableaux import DOPRI5, TSIT5, Tableau
+from ndcn_tpu.ode.tableaux import (DOPRI5, TSIT5, TSIT5_REFERENCE_WEIGHTS,
+                                   Tableau)
 from ndcn_tpu.ode.tree_math import tree_map, tree_where
 
 # Matches the reference's initial-step-selection order argument (dopri5.py:81, a
@@ -73,6 +74,13 @@ TSIT5_METHOD = AdaptiveMethod(
     interp_stack=interp_lib.tsit5_interp_stack,
     interp_weights=interp_lib.tsit5_interp_weights,
 )
+
+
+# Compatibility method for odeint(..., options={"reference_weights": True}):
+# identical solver, the REFERENCE'S (non-converging) tsit5 error weights — see
+# tableaux.TSIT5_REFERENCE_WEIGHTS.
+TSIT5_REFERENCE_METHOD = dataclasses.replace(TSIT5_METHOD,
+                                             tableau=TSIT5_REFERENCE_WEIGHTS)
 
 
 class SolveStats(NamedTuple):

@@ -51,7 +51,7 @@ _METHOD_OPTIONS = {
     "dopri5": _COMMON_OPTIONS | {"safety", "ifactor", "dfactor", "first_step",
                                  "time_dtype"},
     "tsit5": _COMMON_OPTIONS | {"safety", "ifactor", "dfactor", "first_step",
-                                "time_dtype"},
+                                "time_dtype", "reference_weights"},
     # fixed-grid/fixed-order methods accept (and ignore) the common options so
     # method-agnostic callers like ode_block can pass one options dict
     "euler": _COMMON_OPTIONS | {"step_size"},
@@ -136,12 +136,17 @@ def odeint_with_stats(func: Callable, y0, t, rtol: float = 1e-7, atol: float = 1
                           order=5)
         differentiable = bool(options.get("differentiable", True))
         first_step = options.get("first_step")
+        m = _ADAPTIVE[method]
+        if method == "tsit5" and options.get("reference_weights"):
+            # bit-compatibility mode: the reference's (non-converging) tsit5
+            # error weights (tsit5.py:17-26) — see tableaux.py
+            m = adaptive.TSIT5_REFERENCE_METHOD
         if differentiable:
             max_steps = int(options.get("max_steps", _DEFAULT_MAX_STEPS_SCAN))
-            return adaptive.solve_scan(_ADAPTIVE[method], func, y0, t, ctrl,
+            return adaptive.solve_scan(m, func, y0, t, ctrl,
                                        max_steps=max_steps, first_step=first_step)
         max_steps = int(options.get("max_steps", _DEFAULT_MAX_STEPS_WHILE))
-        return adaptive.solve_while(_ADAPTIVE[method], func, y0, t, ctrl,
+        return adaptive.solve_while(m, func, y0, t, ctrl,
                                     max_steps=max_steps, first_step=first_step)
 
     if method in ("euler", "midpoint", "rk4"):

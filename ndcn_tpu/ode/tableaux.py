@@ -87,6 +87,20 @@ TSIT5 = Tableau(
 )
 
 
+# Bit-compatibility variant (odeint option {"reference_weights": True}): the
+# REFERENCE'S tsit5 error weights (tsit5.py:17-26), which subtract the paper's
+# embedded differences from b a second time — c_error = c_sol - diff for the
+# first six stages plus a literal -1/66. They sum to 32/33, so the "error"
+# estimate is dominated by the solution value itself and the controller drives
+# dt toward the tolerance floor (see docs/PARITY.md row 4 and the evidence
+# fixture linear2d_tsit5_reference_behavior.npz). Exists ONLY to reproduce the
+# reference's behavior for bit-parity experiments; never the default.
+TSIT5_REFERENCE_WEIGHTS = TSIT5._replace(
+    c_error=tuple(s - e for s, e in zip(TSIT5.c_sol[:6], TSIT5.c_error[:6]))
+    + (-1 / 66,),
+)
+
+
 def _check(tab: Tableau) -> None:
     s = len(tab.c_sol)
     assert len(tab.alpha) == s - 1
@@ -98,3 +112,4 @@ def _check(tab: Tableau) -> None:
 
 _check(DOPRI5)
 _check(TSIT5)
+_check(TSIT5_REFERENCE_WEIGHTS)

@@ -86,7 +86,9 @@ def probe_step_budget(solve_nondiff: Callable[[], "object"],
     exhaustion mid-run just wastes the run. A caller that can RECOVER from
     exhaustion (the dynamics driver rolls back to its last good snapshot and
     regrows the budget) should pass snug values instead, e.g.
-    ``floor=8, headroom=1.5, slack=4, quantum=4``: frozen scan iterations cost
+    ``floor=8, headroom=2.5, slack=4, quantum=4`` (the values the drivers and
+    examples converged on — headroom below ~2 makes rollback a routine event
+    rather than rare insurance): frozen scan iterations cost
     real time every step, so the snug budget is the single biggest
     trainer-throughput lever (see module docstring).
     """
@@ -94,5 +96,28 @@ def probe_step_budget(solve_nondiff: Callable[[], "object"],
     with jax.default_device(cpu):
         stats = solve_nondiff()
     attempts = int(stats.n_accepted) + int(stats.n_rejected)
+    budget = max(floor, int(headroom * attempts) + slack)
+    return -(-budget // quantum) * quantum
+
+
+def probe_step_budget_multi(solves, floor: int = 16, headroom: float = 4.0,
+                            slack: int = 8, quantum: int = 8) -> int:
+    """Size one shared budget from SEVERAL probe solves — the max attempts
+    over all of them, then the usual headroom formula.
+
+    For vmapped replica sweeps: a batched solve cannot roll back a single
+    replica, and one replica's init can need more step attempts than another's
+    (the step controller reacts to the initial dynamics the random weights
+    produce). Sizing from a single probe seed makes the budget a bet on that
+    seed being the hardest; probing a handful of the ACTUAL replica inits and
+    taking the max makes the bet explicit and cheap (CPU compiles share one
+    cache entry across same-shaped probes)."""
+    cpu = jax.devices("cpu")[0]
+    attempts = 0
+    with jax.default_device(cpu):
+        for solve in solves:
+            stats = solve()
+            attempts = max(attempts,
+                           int(stats.n_accepted) + int(stats.n_rejected))
     budget = max(floor, int(headroom * attempts) + slack)
     return -(-budget // quantum) * quantum

@@ -249,3 +249,44 @@ def test_elastic_budget_unit_semantics():
     pre = device_copy(state)
     eb2.snapshot(0, None, pre, copy=False)
     assert eb2._snap[2] is pre
+
+
+def test_probe_step_budget_multi_sizes_for_hardest(monkeypatch):
+    """Vmapped sweeps size the shared budget from the MAX attempts over
+    several probed replica inits (VERDICT r2 weak #6): one replica whose
+    dynamics need more step attempts than the first probe seed must still fit."""
+    import jax.numpy as jnp
+    from ndcn_tpu.ode.adaptive import SolveStats
+    from ndcn_tpu.train.budget import (probe_step_budget,
+                                       probe_step_budget_multi)
+
+    def mk(attempts):
+        return lambda: SolveStats(nfe=jnp.asarray(0),
+                                  n_accepted=jnp.asarray(attempts),
+                                  n_rejected=jnp.asarray(0),
+                                  success=jnp.asarray(True))
+
+    multi = probe_step_budget_multi([mk(3), mk(11), mk(5)])
+    assert multi == probe_step_budget(mk(11))      # sized for the hardest
+    assert multi > probe_step_budget(mk(3))        # not the first seed
+
+
+def test_replica_sweep_probes_multiple_inits(monkeypatch):
+    """--replicas routes budget sizing through the multi-seed probe with one
+    probe per (up to 4) actual replica init keys."""
+    import ndcn_tpu.train.budget as budget
+    from ndcn_tpu.experiments.dynamics import run
+
+    seen = []
+    real = budget.probe_step_budget_multi
+
+    def spy(solves, **kw):
+        solves = list(solves)
+        seen.append(len(solves))
+        return real(solves, **kw)
+
+    monkeypatch.setattr(budget, "probe_step_budget_multi", spy)
+    out = run("heat", _dyn_args(["--method", "dopri5", "--niters", "2",
+                                 "--test_freq", "2", "--replicas", "3"]))
+    assert seen == [3]
+    assert np.isfinite(out["final"]["rel_error"])

@@ -168,3 +168,23 @@ def test_coo_custom_vjp_matches_dense_gradient():
     gd1 = jax.grad(lambda xx: jnp.sum(matvec(op_dense, xx) * ct1))(x1)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(gd1), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_coo_operator_cotangent_is_nan_poisoned():
+    """A learned-sparse-operator model differentiating through the COO custom
+    VJP must fail LOUDLY: the vals cotangent is NaN, never a silent zero
+    (advisor r2 finding; same policy as the fused dense kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    dense = (rng.rand(20, 20) * (rng.rand(20, 20) < 0.2)).astype(np.float32)
+    op = as_operator(sp.csr_matrix(dense), sparse=True, format="coo")
+    x = jnp.asarray(rng.randn(20, 4).astype(np.float32))
+
+    gv = jax.grad(lambda v: jnp.sum(matvec(op._replace(vals=v), x) ** 2))(
+        op.vals)
+    assert bool(jnp.all(jnp.isnan(gv)))
+    # x-gradient stays finite through the same call
+    gx = jax.grad(lambda xx: jnp.sum(matvec(op, xx) ** 2))(x)
+    assert bool(jnp.all(jnp.isfinite(gx)))

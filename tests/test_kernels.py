@@ -222,3 +222,60 @@ def test_bsr_dtype_rejected():
     m = sp.random(64, 64, density=0.05, format="csr", random_state=0)
     with pytest.raises(ValueError, match="float32 only"):
         as_operator(m, sparse=True, format="bsr", dtype=jnp.bfloat16)
+
+
+def test_fused_dispatch_raises_when_impossible():
+    """fused=True on a non-fusable configuration must fail at trace time, not
+    warn and silently run the unfused path (VERDICT r2 item 9)."""
+    import pytest
+    from ndcn_tpu.graph.sparse import as_operator, from_dense
+    from ndcn_tpu.models import init_ndcn, ndcn_forward
+
+    rng = np.random.RandomState(0)
+    a = rng.rand(24, 24).astype(np.float32)
+    x0 = jnp.asarray(rng.rand(24, 1), jnp.float32)
+    vt = jnp.linspace(0.0, 1.0, 4)
+    params = init_ndcn(jax.random.PRNGKey(0), 1, 8, 1)
+
+    # ELL operator: no fused kernel exists for it
+    op_ell = as_operator(sp.csr_matrix(a * (a > 0.8)), sparse=True, format="ell")
+    with pytest.raises(ValueError, match="fused=True requires"):
+        ndcn_forward(params, op_ell, vt, x0, method="rk4", fused=True)
+    # dropout on: RHS is not the fusable relu((A h)W+b) form
+    op = from_dense(a)
+    with pytest.raises(ValueError, match="fused=True requires"):
+        ndcn_forward(params, op, vt, x0, method="rk4", fused=True,
+                     dropout=0.5, rng=jax.random.PRNGKey(1))
+    # 'auto' on the same configs runs the standard path silently
+    out, _ = ndcn_forward(params, op_ell, vt, x0, method="rk4", fused="auto")
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_fused_auto_never_picks_parity_breaking_path():
+    """fused='auto' must produce the same numbers as fused=False on every
+    configuration (the heuristic may only change WHICH correct kernel runs,
+    VERDICT r2 item 5)."""
+    from ndcn_tpu.graph.sparse import as_operator, from_dense
+    from ndcn_tpu.models import init_ndcn, ndcn_forward
+
+    rng = np.random.RandomState(1)
+    a = rng.rand(40, 40).astype(np.float32)
+    x0 = jnp.asarray(rng.rand(40, 1), jnp.float32)
+    vt = jnp.linspace(0.0, 1.0, 5)
+    configs = [
+        dict(op=from_dense(a), kw={}),
+        dict(op=from_dense(a), kw=dict(no_control=True)),
+        dict(op=as_operator(sp.csr_matrix(a * (a > 0.7)), sparse=True,
+                            format="bsr"), kw={}),
+        dict(op=from_dense(a), kw=dict(dropout=0.3,
+                                       rng=jax.random.PRNGKey(2))),
+    ]
+    for cfg in configs:
+        p = init_ndcn(jax.random.PRNGKey(3), 1, 8, 1,
+                      no_control=cfg["kw"].get("no_control", False))
+        out_a, _ = ndcn_forward(p, cfg["op"], vt, x0, method="rk4",
+                                fused="auto", **cfg["kw"])
+        out_u, _ = ndcn_forward(p, cfg["op"], vt, x0, method="rk4",
+                                fused=False, **cfg["kw"])
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_u),
+                                   atol=2e-4)

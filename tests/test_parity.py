@@ -112,6 +112,42 @@ def test_tsit5_converges_to_truth():
     assert rel_l1(np.asarray(sol_t)[:, 0, :], truth) < 1e-4
 
 
+def test_tsit5_reference_weights_mode():
+    """odeint(options={"reference_weights": True}) reproduces the REFERENCE'S
+    tsit5 step-control behavior (tsit5.py:17-26): the error weights sum to
+    32/33, the estimate is O(dt·f), and the controller micro-steps — hundreds
+    of times the nfe of the correct weights at the same tolerance. The
+    propagated STATE stays accurate (each micro-step's true local error is
+    O(dt^6)); the reference's recorded trajectory is nonetheless garbage
+    because its dense output separately reads the first stage DERIVATIVE as
+    the interval's base state (_interp_eval_tsit5, tsit5.py:44-47) — a bug
+    this framework does not reproduce (docs/PARITY.md row 4)."""
+    import scipy.linalg as sla
+    from ndcn_tpu.ode import odeint_with_stats
+
+    f = load("linear2d_tsit5_reference_behavior")
+    a = jnp.asarray(f["a"])
+    t = np.asarray(f["t"])
+    truth = np.stack([f["y0"][0] @ sla.expm(f["a"].T.astype(np.float64) * tt)
+                      for tt in t])
+    kw = dict(rtol=float(f["rtol"]), atol=float(f["atol"]), method="tsit5")
+    sol, stats = odeint_with_stats(
+        lambda tt, y: y @ a.T, jnp.asarray(f["y0"]), jnp.asarray(t),
+        options={"differentiable": False, "reference_weights": True,
+                 "max_steps": 1 << 20}, **kw)
+    _, stats_correct = odeint_with_stats(
+        lambda tt, y: y @ a.T, jnp.asarray(f["y0"]), jnp.asarray(t),
+        options={"differentiable": False}, **kw)
+    assert bool(stats.success)
+    # the reference's micro-stepping pathology reproduces: thousands of
+    # accepted steps where the correct weights need a handful
+    assert int(stats.n_accepted) > 200 * int(stats_correct.n_accepted)
+    assert int(stats.n_accepted) > 10_000
+    # the propagated state is still accurate — the wrongness of the
+    # reference's RECORDED trajectory is its interp bug, not the weights
+    assert rel_l1(np.asarray(sol)[:, 0, :], truth) < 1e-3
+
+
 def test_heat_grid400_parity():
     f = load("heat_grid400_dopri5")
     from ndcn_tpu.graph import generators
