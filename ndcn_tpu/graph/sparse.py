@@ -56,14 +56,20 @@ class CooGraph(NamedTuple):
     A's column). They make the backward pass a second SORTED segment-sum —
     without them, autodiff turns the gather's VJP into an UNSORTED scatter-add
     over the columns, which is catastrophically slow on TPU (~100x the sorted
-    form at 2M edges). The operator itself is constant (zero cotangent), like
-    every model in this framework."""
+    form at 2M edges). The operator itself is constant: its float cotangents
+    are NaN-poisoned so learned-operator gradients fail loudly.
+
+    ``tiles``/``tiles_t`` optionally hold the sliced-row-tile packing consumed
+    by the Pallas segment-sum kernel (kernels/coo_spmv.py) — the scatter-free
+    MXU reduction path TPU matvec uses when they are present."""
     rows: jnp.ndarray  # (nnz,) int32, sorted
     cols: jnp.ndarray  # (nnz,) int32
     vals: jnp.ndarray  # (nnz,)
     rows_t: Optional[jnp.ndarray] = None  # (nnz,) int32, sorted (rows of Aᵀ)
     cols_t: Optional[jnp.ndarray] = None
     vals_t: Optional[jnp.ndarray] = None
+    tiles: Optional[object] = None        # kernels.coo_spmv.CooTiles
+    tiles_t: Optional[object] = None
     n: int = 0         # static: number of nodes (segment count)
 
     @property
@@ -75,7 +81,8 @@ class CooGraph(NamedTuple):
 # of tracing by registering a custom flatten for CooGraph.
 jax.tree_util.register_pytree_node(
     CooGraph,
-    lambda g: ((g.rows, g.cols, g.vals, g.rows_t, g.cols_t, g.vals_t), g.n),
+    lambda g: ((g.rows, g.cols, g.vals, g.rows_t, g.cols_t, g.vals_t,
+                g.tiles, g.tiles_t), g.n),
     lambda n, children: CooGraph(*children, n=n),
 )
 
@@ -127,20 +134,43 @@ def from_scipy_bsr_graph(mat: sp.spmatrix) -> BsrGraph:
     return BsrGraph(fwd=from_scipy_bsr(csr), bwd=from_scipy_bsr(csr.T.tocsr()))
 
 
-def from_scipy_coo(mat: sp.spmatrix, dtype=jnp.float32) -> CooGraph:
+# Above this many edges the sliced-tile packing for the Pallas segment-sum
+# kernel is built at construction (host-side, vectorized numpy): the XLA
+# scatter path it replaces degrades to ~100M rows/s on TPU, which at 200k+
+# edge counts dominates the train step (docs/PARITY.md).
+TILE_PACK_THRESHOLD = 200_000
+
+
+def from_scipy_coo(mat: sp.spmatrix, dtype=jnp.float32,
+                   tiled: Optional[bool] = None) -> CooGraph:
+    """``tiled`` forces/suppresses the Pallas tile packing (None = auto by
+    edge count, TILE_PACK_THRESHOLD)."""
     coo = sp.coo_matrix(mat)
     order = np.argsort(coo.row, kind="stable")
     # transpose triplets (Aᵀ sorted by ITS row = A's column): the backward's
     # dx = Aᵀḡ then runs as a sorted segment-sum instead of an unsorted
     # scatter-add (see CooGraph docstring)
     order_t = np.argsort(coo.col, kind="stable")
-    return CooGraph(rows=jnp.asarray(coo.row[order].astype(np.int32)),
-                    cols=jnp.asarray(coo.col[order].astype(np.int32)),
-                    vals=jnp.asarray(coo.data[order], dtype),
-                    rows_t=jnp.asarray(coo.col[order_t].astype(np.int32)),
-                    cols_t=jnp.asarray(coo.row[order_t].astype(np.int32)),
-                    vals_t=jnp.asarray(coo.data[order_t], dtype),
-                    n=int(coo.shape[0]))
+    rows = coo.row[order].astype(np.int32)
+    cols = coo.col[order].astype(np.int32)
+    vals = coo.data[order]
+    rows_t = coo.col[order_t].astype(np.int32)
+    cols_t = coo.row[order_t].astype(np.int32)
+    vals_t = coo.data[order_t]
+    n = int(coo.shape[0])
+    if tiled is None:
+        tiled = coo.nnz >= TILE_PACK_THRESHOLD
+    tiles = tiles_t = None
+    if tiled:
+        from ndcn_tpu.kernels.coo_spmv import pack_tiles
+
+        tiles = pack_tiles(rows, cols, vals, n)
+        tiles_t = pack_tiles(rows_t, cols_t, vals_t, n)
+    return CooGraph(rows=jnp.asarray(rows), cols=jnp.asarray(cols),
+                    vals=jnp.asarray(vals, dtype),
+                    rows_t=jnp.asarray(rows_t), cols_t=jnp.asarray(cols_t),
+                    vals_t=jnp.asarray(vals_t, dtype),
+                    tiles=tiles, tiles_t=tiles_t, n=n)
 
 
 def as_operator(mat, sparse: bool = False, dtype=jnp.float32,
@@ -237,6 +267,17 @@ def matvec(op: GraphOperator, x: jnp.ndarray) -> jnp.ndarray:
 
         return bsr_spmm(op.fwd, op.bwd, x)
     if isinstance(op, CooGraph):
+        if op.tiles is not None and x.ndim == 2 and x.shape[1] > 1:
+            from ndcn_tpu.kernels.platform import pallas_interpret
+
+            if not pallas_interpret():
+                # TPU: the Pallas sliced-tile segment-sum kernel (scatter-free
+                # MXU reduction; kernels/coo_spmv.py). CPU execution keeps the
+                # XLA path below — its compiled scatter is fine there, while
+                # interpret-mode pallas at millions of edges is minutes-slow.
+                from ndcn_tpu.kernels.coo_spmv import tiled_spmv
+
+                return tiled_spmv(op.tiles, op.tiles_t, x)
         if op.rows_t is not None:
             return _coo_matvec(op, x)
         return _coo_apply(op.rows, op.cols, op.vals, op.n, x)

@@ -1,0 +1,208 @@
+"""Pallas TPU kernel: sorted-COO segment-sum SpMV (sliced row tiles, MXU reduce).
+
+The scalable element-sparse A@X path. The XLA formulation (gather + sorted
+segment_sum, graph/sparse._coo_apply) is scatter-bound on TPU: the scatter
+walks ~100M rows/s and every (nnz, d) intermediate with a small feature dim
+pays the (8, 128) lane-padding tax (128/d x HBM traffic). It capped the
+200k-node scale demo at 0.35 train steps/s (docs/PARITY.md). This kernel is
+the SURVEY §7 stage-3 "Pallas segment-sum SpMV", shaped by those two ceilings:
+
+- **feature-major layout**: everything flows as (d, edges) — the feature dim
+  sits in SUBLANES (pads 20 -> 24, a 1.2x tax) and the huge edge dim in lanes
+  (no padding), instead of (edges, d)'s 6.4x lane blowup at d=20.
+- **no scatter anywhere**: edges are row-sorted and pre-sliced on the host
+  into (row-tile, <=E edges) slices; each kernel step builds the slice's
+  one-hot row-selection matrix IN VMEM (never in HBM) and reduces with one
+  MXU pass: out[tile] += contrib (d, E) @ onehot (E, R). The output row tile
+  stays resident in VMEM across its slices (grid ordered slice-major).
+- hub rows split across slices of the same tile (bounded padding on power-law
+  graphs: total slots <= nnz + T*E, never max_degree-dependent like ELL).
+- the matmul runs at Precision.HIGH (3-pass bf16): the one-hot operand is
+  EXACT in bf16, so only the contrib split matters — measured agreement with
+  the f32 XLA segment-sum is ~1e-7 relative (tests/test_kernels.py).
+
+The gather side (x[cols]) stays in XLA, on the transposed (d, n) operand, so
+its output is already feature-major. Reference capability this scales:
+torch.sparse.mm (/root/reference/neural_dynamics.py:28-31).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndcn_tpu.kernels.platform import pallas_interpret
+
+R_TILE = 128          # rows per output tile (one lane-width)
+E_SLICE = 512         # edge slots per slice (lane multiple)
+
+
+class CooTiles(NamedTuple):
+    """Host-packed sliced row tiles of a row-sorted COO matrix.
+
+    Slice s covers up to E edges, all with rows in [tile_of[s]*R,
+    (tile_of[s]+1)*R); slices of one tile are consecutive. ``first[s]`` marks
+    the tile's first slice (the kernel zeroes the output block there). Pad
+    slots carry val=0 / col=0 / local_row=0 and contribute exactly zero.
+    """
+    tile_of: jnp.ndarray      # (S,) int32: output row-tile per slice
+    first: jnp.ndarray        # (S,) int32: 1 on a tile's first slice
+    local_rows: jnp.ndarray   # (S*E,) int32: row - tile*R, in [0, R)
+    cols: jnp.ndarray         # (S*E,) int32
+    vals: jnp.ndarray         # (S*E,) float32
+    n: int = 0
+    n_pad: int = 0
+    R: int = R_TILE
+    E: int = E_SLICE
+
+
+jax.tree_util.register_pytree_node(
+    CooTiles,
+    lambda t: ((t.tile_of, t.first, t.local_rows, t.cols, t.vals),
+               (t.n, t.n_pad, t.R, t.E)),
+    lambda aux, ch: CooTiles(*ch, *aux),
+)
+
+
+def pack_tiles(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n: int,
+               tile_rows: int = R_TILE, slice_edges: int = E_SLICE) -> CooTiles:
+    """Vectorized host-side packing of row-SORTED triplets into sliced tiles."""
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    vals = np.asarray(vals)
+    assert rows.ndim == 1 and np.all(np.diff(rows) >= 0), "rows must be sorted"
+    R, E = int(tile_rows), int(slice_edges)
+    T = max(1, -(-n // R))
+    n_pad = T * R
+    nnz = rows.shape[0]
+
+    tile_starts = np.searchsorted(rows, np.arange(T) * R)      # (T,)
+    counts = np.diff(np.append(tile_starts, nnz))              # edges per tile
+    s_count = np.maximum(1, -(-counts // E))                   # slices per tile
+    slice_base = np.concatenate([[0], np.cumsum(s_count)[:-1]])
+    S = int(s_count.sum())
+
+    tile_of = np.repeat(np.arange(T, dtype=np.int32),
+                        s_count.astype(np.int64))
+    first = np.zeros(S, np.int32)
+    first[slice_base] = 1
+
+    # flat slot of every edge: its tile's slice_base plus position within tile
+    owner = np.repeat(np.arange(T), counts.astype(np.int64))    # tile per edge
+    pos = np.arange(nnz, dtype=np.int64) - tile_starts[owner]   # idx in tile
+    flat = (slice_base[owner] + pos // E) * E + pos % E
+
+    lr = np.zeros(S * E, np.int32)
+    cc = np.zeros(S * E, np.int32)
+    vv = np.zeros(S * E, np.float32)
+    lr[flat] = (rows - owner * R).astype(np.int32)
+    cc[flat] = cols.astype(np.int32)
+    vv[flat] = vals.astype(np.float32)
+
+    return CooTiles(tile_of=jnp.asarray(tile_of), first=jnp.asarray(first),
+                    local_rows=jnp.asarray(lr), cols=jnp.asarray(cc),
+                    vals=jnp.asarray(vv), n=int(n), n_pad=n_pad, R=R, E=E)
+
+
+def _make_kernel(E: int, R: int):
+    import jax.experimental.pallas as pl
+
+    def seg_kernel(tile_ref, first_ref, lr_ref, vv_ref, g_ref, out_ref):
+        s = pl.program_id(0)
+
+        @pl.when(first_ref[s] == 1)
+        def _zero():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+
+        lr = lr_ref[:].reshape(1, E)
+        # one-hot row selection lives only in VMEM; [r, e] = (local_row[e] == r)
+        onehot_t = (jax.lax.broadcasted_iota(jnp.int32, (R, E), 0) == lr
+                    ).astype(jnp.float32)
+        contrib = g_ref[:, :] * vv_ref[:].reshape(1, E)
+        # 3-pass bf16 (HIGH): the one-hot operand is exact in bf16, so the
+        # product is exact up to the 2-term bf16 split of contrib (~1e-7 rel)
+        out_ref[:, :] += jax.lax.dot_general(
+            contrib, onehot_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGH)
+
+    return seg_kernel
+
+
+def _reduce_call(tiles: CooTiles, gathered: jnp.ndarray) -> jnp.ndarray:
+    """gathered: (d_sub, S*E) feature-major contrib inputs (pre-multiplied by
+    nothing — vals ride in as a kernel operand); returns (d_sub, n_pad)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d_sub = gathered.shape[0]
+    S = tiles.tile_of.shape[0]
+    E, R = tiles.E, tiles.R
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # tile_of, first
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((E,), lambda s, tile, first: (s,)),
+            pl.BlockSpec((E,), lambda s, tile, first: (s,)),
+            pl.BlockSpec((d_sub, E), lambda s, tile, first: (0, s)),
+        ],
+        out_specs=pl.BlockSpec((d_sub, R), lambda s, tile, first: (0, tile[s])),
+    )
+    return pl.pallas_call(
+        _make_kernel(E, R),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d_sub, tiles.n_pad), jnp.float32),
+        interpret=pallas_interpret(),
+    )(tiles.tile_of, tiles.first, tiles.local_rows, tiles.vals, gathered)
+
+
+def _spmv_T(tiles: CooTiles, xT: jnp.ndarray) -> jnp.ndarray:
+    """A @ X in feature-major form: xT (d_sub, n) -> (d_sub, n), f32."""
+    gathered = jnp.take(xT, tiles.cols, axis=1)       # (d_sub, S*E)
+    return _reduce_call(tiles, gathered)[:, : tiles.n]
+
+
+def tiled_spmv_raw(tiles: CooTiles, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x for x (n, d); feature-major padding/transposes inside."""
+    n, d = x.shape
+    d_sub = max(8, -(-d // 8) * 8)
+    xT = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, d_sub - d))).T
+    out = _spmv_T(tiles, xT)
+    return out[:d].T.astype(x.dtype)
+
+
+@jax.custom_vjp
+def tiled_spmv(tiles: CooTiles, tiles_t: CooTiles, x: jnp.ndarray):
+    """Differentiable (in x) tiled COO SpMV; ``tiles_t`` packs A-transpose so
+    the backward is the same kernel (sorted, scatter-free). The operator is a
+    CONSTANT: its float cotangents are NaN-poisoned so a learned-sparse-
+    operator model fails loudly (policy of graph.sparse._coo_matvec)."""
+    return tiled_spmv_raw(tiles, x)
+
+
+def _fwd(tiles, tiles_t, x):
+    return tiled_spmv_raw(tiles, x), (tiles, tiles_t)
+
+
+def _bwd(res, g):
+    tiles, tiles_t = res
+    from ndcn_tpu.graph.sparse import _nan_cotangent
+
+    dx = tiled_spmv_raw(tiles_t, g)
+
+    def poison(t: CooTiles) -> CooTiles:
+        return CooTiles(tile_of=_nan_cotangent(t.tile_of),
+                        first=_nan_cotangent(t.first),
+                        local_rows=_nan_cotangent(t.local_rows),
+                        cols=_nan_cotangent(t.cols),
+                        vals=_nan_cotangent(t.vals),
+                        n=t.n, n_pad=t.n_pad, R=t.R, E=t.E)
+
+    return poison(tiles), poison(tiles_t), dx
+
+
+tiled_spmv.defvjp(_fwd, _bwd)

@@ -279,3 +279,96 @@ def test_fused_auto_never_picks_parity_breaking_path():
                                 fused=False, **cfg["kw"])
         np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_u),
                                    atol=2e-4)
+
+
+def _random_power_law_coo(n, m, seed, d=20):
+    """Row-sorted COO with hub rows and empty rows (the layouts that break
+    naive slicing), plus a dense oracle."""
+    rng = np.random.RandomState(seed)
+    rows = rng.zipf(1.5, m) % n
+    cols = rng.randint(0, n, m)
+    vals = rng.randn(m).astype(np.float32)
+    a = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    a.sum_duplicates()
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    return a, x, rng
+
+
+def test_coo_tiled_spmv_matches_dense():
+    """Pallas sliced-tile segment-sum SpMV == dense A@X, forward and VJP, on a
+    power-law graph with hub rows (slice splitting) and empty row tiles, at an
+    n that is not a multiple of the tile height (VERDICT r2 item 1)."""
+    from ndcn_tpu.graph.sparse import from_scipy_coo
+    from ndcn_tpu.kernels.coo_spmv import tiled_spmv
+
+    a, x, rng = _random_power_law_coo(300, 3000, seed=0)
+    op = from_scipy_coo(a, tiled=True)
+    assert op.tiles is not None and op.tiles_t is not None
+    ref = np.asarray(a @ np.asarray(x))
+    got = np.asarray(tiled_spmv(op.tiles, op.tiles_t, x))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    ct = jnp.asarray(rng.randn(*x.shape).astype(np.float32))
+    g = jax.grad(lambda xx: jnp.sum(tiled_spmv(op.tiles, op.tiles_t, xx) * ct))(x)
+    g_ref = np.asarray(a.T @ np.asarray(ct))
+    np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-5, atol=1e-5)
+
+    # narrow feature dims pad sublanes, not lanes
+    for d in (3, 8):
+        got_d = np.asarray(tiled_spmv(op.tiles, op.tiles_t, x[:, :d]))
+        np.testing.assert_allclose(got_d, ref[:, :d], rtol=1e-5, atol=1e-5)
+
+
+def test_coo_tiled_operator_cotangent_is_nan_poisoned():
+    from ndcn_tpu.graph.sparse import from_scipy_coo
+    from ndcn_tpu.kernels.coo_spmv import tiled_spmv
+
+    a, x, _ = _random_power_law_coo(140, 900, seed=1, d=4)
+    op = from_scipy_coo(a, tiled=True)
+    gv = jax.grad(lambda v: jnp.sum(
+        tiled_spmv(op.tiles._replace(vals=v), op.tiles_t, x) ** 2))(
+        op.tiles.vals)
+    assert bool(jnp.all(jnp.isnan(gv)))
+
+
+def test_coo_tile_packing_properties():
+    """pack_tiles: every edge lands in a slice of its own row tile, pad slots
+    are zero-valued, tiles with zero edges still get a zeroing first slice."""
+    from ndcn_tpu.kernels.coo_spmv import pack_tiles
+
+    rng = np.random.RandomState(2)
+    n = 400
+    # one hub row with > E edges, a stretch of empty rows
+    rows = np.sort(np.concatenate([
+        np.full(1500, 7), rng.randint(256, 384, 500)])).astype(np.int32)
+    cols = rng.randint(0, n, rows.size).astype(np.int32)
+    vals = rng.rand(rows.size).astype(np.float32)
+    t = pack_tiles(rows, cols, vals, n, tile_rows=128, slice_edges=512)
+    S = int(t.tile_of.shape[0])
+    assert t.n_pad == 512 and S >= 4  # hub tile alone needs >= 3 slices
+    tile_of = np.asarray(t.tile_of)
+    first = np.asarray(t.first)
+    # slices of one tile are consecutive, each tile has exactly one first
+    assert np.all(np.diff(tile_of) >= 0)
+    for tile in range(4):
+        sel = tile_of == tile
+        assert sel.any() and first[sel][0] == 1 and first[sel][1:].sum() == 0
+    # per-slot invariants: local rows within tile height, values conserved
+    lr = np.asarray(t.local_rows).reshape(S, t.E)
+    vv = np.asarray(t.vals).reshape(S, t.E)
+    assert lr.min() >= 0 and lr.max() < 128
+    assert np.isclose(vv.sum(), vals.sum())
+
+
+def test_matvec_auto_tiles_above_threshold(monkeypatch):
+    """from_scipy_coo packs tiles automatically above the edge threshold and
+    CPU matvec still routes the XLA path (kernel is TPU-execution only)."""
+    import ndcn_tpu.graph.sparse as gs
+
+    a, x, _ = _random_power_law_coo(200, 2500, seed=3, d=6)
+    monkeypatch.setattr(gs, "TILE_PACK_THRESHOLD", 1000)
+    op = gs.from_scipy_coo(a)
+    assert op.tiles is not None
+    got = np.asarray(gs.matvec(op, x))   # CPU: XLA segment-sum path
+    np.testing.assert_allclose(got, np.asarray(a @ np.asarray(x)),
+                               rtol=1e-5, atol=1e-5)
