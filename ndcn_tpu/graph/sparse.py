@@ -244,11 +244,17 @@ def _nan_cotangent(leaf):
 
 def _coo_matvec_bwd(op, g):
     dx = _coo_apply(op.rows_t, op.cols_t, op.vals_t, op.n, g)
+    # the cotangent must mirror the primal's FULL pytree structure, including
+    # any CooTiles packing riding along (d=1/CPU routes reach here with tiles)
+    poison_tiles = lambda t: (None if t is None else jax.tree_util.tree_map(
+        _nan_cotangent, t))
     dop = CooGraph(rows=_nan_cotangent(op.rows), cols=_nan_cotangent(op.cols),
                    vals=_nan_cotangent(op.vals),
                    rows_t=_nan_cotangent(op.rows_t),
                    cols_t=_nan_cotangent(op.cols_t),
-                   vals_t=_nan_cotangent(op.vals_t), n=op.n)
+                   vals_t=_nan_cotangent(op.vals_t),
+                   tiles=poison_tiles(op.tiles),
+                   tiles_t=poison_tiles(op.tiles_t), n=op.n)
     return dop, dx
 
 
