@@ -45,15 +45,25 @@ def main(argv=None):
     ap = argparse.ArgumentParser("large_graph")
     ap.add_argument("--n", type=int, default=200_000)
     ap.add_argument("--deg", type=int, default=10)
+    ap.add_argument("--dynamics", type=str, default="heat",
+                    choices=["heat", "mutualistic", "gene"],
+                    help="physics for the ground truth; mutualistic exercises "
+                         "the COO edge-list interaction at a scale its ELL "
+                         "form cannot represent (max-degree padding)")
     ap.add_argument("--hidden", type=int, default=20)
     ap.add_argument("--time_tick", type=int, default=40)
     ap.add_argument("--T", type=float, default=5.0)
     ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fmt", type=str, default="coo", choices=["coo", "ell"],
-                    help="sparse layout: COO segment-sum (scatter-bound on "
-                         "TPU) or ELL gather+einsum (pads rows to max degree; "
-                         "faster when the degree distribution is tight)")
+                    help="sparse layout: COO (Pallas sliced-tile segment-sum "
+                         "kernel on TPU) or ELL gather+einsum (pads rows to "
+                         "max degree; only viable on tight degree "
+                         "distributions)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="row-shard the operator and node-major arrays over "
+                         "all visible devices ('model' axis); prints a "
+                         "sharded-vs-unsharded first-step parity delta")
     from ndcn_tpu.utils.platform import add_platform_flag
     add_platform_flag(ap)
     args = ap.parse_args(argv)
@@ -82,16 +92,24 @@ def main(argv=None):
     print(f"graph: {n:,} nodes, {adj.nnz:,} directed edges "
           f"({time.time() - t0_wall:.1f}s host build)", file=sys.stderr)
 
-    # Physics AND model use the normalized Laplacian (spectrum in [0, 2]):
-    # with the raw D - A operator, lambda_max ~ 2*max_degree (~60 here) makes
-    # the explicit solve stability-limited to O(lambda*T) steps — at 200k
-    # nodes the scan's per-step dense-output emissions then exceed HBM. The
-    # normalized operator keeps the same diffusion physics in the
-    # explicit-solver regime (~15 steps), which is the honest way to run
-    # non-stiff RK at this scale. Everything stays sparse COO on device.
-    physics_op = as_operator(normalized_laplacian_sparse(adj), sparse=True,
-                             format=args.fmt)
-    model_op = physics_op
+    # The MODEL always propagates through the normalized Laplacian (spectrum
+    # in [0, 2]): with the raw D - A operator, lambda_max ~ 2*max_degree (~60
+    # here) makes the explicit solve stability-limited to O(lambda*T) steps —
+    # at 200k nodes the scan's per-step dense-output emissions then exceed
+    # HBM. Heat PHYSICS uses the same normalized operator (same diffusion in
+    # the explicit-solver regime, ~15 steps — the honest way to run non-stiff
+    # RK at this scale); mutualistic/gene couple through the raw adjacency
+    # (their saturating/Hill couplings keep the dynamics tame). Everything
+    # stays sparse on device; mutualistic requires the COO edge-list form —
+    # ELL's max-degree padding cannot represent this graph (docs/PARITY.md).
+    model_op = as_operator(normalized_laplacian_sparse(adj), sparse=True,
+                           format=args.fmt)
+    if args.dynamics == "heat":
+        physics_op = model_op
+    else:
+        if args.dynamics == "mutualistic" and args.fmt != "coo":
+            raise SystemExit("mutualistic at this scale requires --fmt coo")
+        physics_op = as_operator(adj, sparse=True, format=args.fmt)
 
     splits = sample_times(args.T, args.time_tick, "irregular", seed=args.seed)
     t_full = jnp.asarray(splits.t)
@@ -109,7 +127,7 @@ def main(argv=None):
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         physics_cpu = to_cpu(physics_op)
-        rhs = make_rhs("heat", physics_cpu)
+        rhs = make_rhs(args.dynamics, physics_cpu)
         truth, gt_stats = odeint_with_stats(
             rhs, jax.device_put(x0, cpu), jax.device_put(t_full, cpu),
             rtol=1e-6, atol=1e-8, method="dopri5",
@@ -143,17 +161,61 @@ def main(argv=None):
     print(f"step budget: {max_steps} (train solve nfe {probe_nfe[0]})",
           file=sys.stderr)
 
-    def objective(p, _rng):
-        out, stats = ndcn_forward(p, model_op, t_train, x0, rtol=0.01,
-                                  atol=0.001, method="dopri5",
-                                  max_steps=max_steps)
-        pred = out
-        loss = l1_loss(pred, target)
-        return jnp.where(stats.success, loss, jnp.nan), relative_l1(pred, target)
+    def objective_with(op_, x0_, target_):
+        def objective(p, _rng):
+            out, stats = ndcn_forward(p, op_, t_train, x0_, rtol=0.01,
+                                      atol=0.001, method="dopri5",
+                                      max_steps=max_steps)
+            loss = l1_loss(out, target_)
+            return (jnp.where(stats.success, loss, jnp.nan),
+                    relative_l1(out, target_))
+        return objective
 
     opt = torch_adam(0.01, 1e-3)
+
+    mesh_parity = None
+    if args.mesh and len(jax.devices()) < 2:
+        print("--mesh: single device visible; running unsharded",
+              file=sys.stderr)
+    elif args.mesh:
+        # Row-shard the operator (COO -> shard_map row-block SpMV, sorted
+        # transpose backward) and every node-major array over the mesh's
+        # 'model' axis; params stay replicated. Before committing to the
+        # sharded run, one train step runs BOTH ways from identical init and
+        # the parity delta is printed — sharding must not change the math.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ndcn_tpu.parallel.mesh import (make_mesh, node_sharding,
+                                            replicated)
+        from ndcn_tpu.parallel.sweep import shard_operator
+
+        mesh = make_mesh(data_divides=1, model_divides=n)
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}",
+              file=sys.stderr)
+        op_u, x0_u, target_u = model_op, x0, target
+        model_op = shard_operator(mesh, model_op)
+        x0 = jax.device_put(x0, node_sharding(mesh))
+        target = jax.device_put(target, NamedSharding(mesh, P(None, "model",
+                                                              None)))
+        rep = replicated(mesh)
+        params = jax.tree_util.tree_map(lambda l: jax.device_put(l, rep),
+                                        params)
+        step_u = jax.jit(make_sgd_step(opt, objective_with(op_u, x0_u,
+                                                           target_u)))
+        step_s = jax.jit(make_sgd_step(opt, objective_with(model_op, x0,
+                                                           target)))
+        pk = jax.random.PRNGKey(2)
+        _, _, l_u, r_u = step_u(params, opt.init(params), pk)
+        _, _, l_s, r_s = step_s(params, opt.init(params), pk)
+        mesh_parity = abs(float(l_s) - float(l_u)) / (abs(float(l_u)) + 1e-30)
+        print(f"mesh parity: sharded vs unsharded first-step loss rel delta "
+              f"{mesh_parity:.3e} ({float(l_s):.6f} vs {float(l_u):.6f})",
+              file=sys.stderr)
+        assert mesh_parity < 1e-4, "sharded step diverged from unsharded math"
+
     opt_state = opt.init(params)
-    step = jax.jit(make_sgd_step(opt, objective), donate_argnums=(0, 1))
+    step = jax.jit(make_sgd_step(opt, objective_with(model_op, x0, target)),
+                   donate_argnums=(0, 1))
 
     key = jax.random.PRNGKey(1)
     c_t0 = time.time()
@@ -185,6 +247,9 @@ def main(argv=None):
         "ground_truth_s": round(gt_s, 2),
         "rel_loss_initial": round(rel0, 4), "rel_loss_final": round(relf, 4),
         "device": str(jax.devices()[0]), "fmt": args.fmt,
+        "dynamics": args.dynamics,
+        "mesh_devices": len(jax.devices()) if args.mesh else 1,
+        "mesh_parity": mesh_parity,
     }))
     return relf, rel0
 

@@ -46,8 +46,9 @@ def build_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--sparse", action="store_true")
     p.add_argument("--sparse_format", type=str, default="ell",
                    choices=["coo", "ell", "bsr"],
-                   help="sparse layout (mutualistic requires ell: it gathers "
-                        "neighbor states, which BSR blocks do not expose)")
+                   help="sparse layout; mutualistic physics supports ell "
+                        "(neighbor gather) and coo (edge list, scalable) — "
+                        "bsr falls back to coo there")
     p.add_argument("--network", type=str, default="grid",
                    choices=["grid", "random", "power_law", "small_world", "community"])
     p.add_argument("--layout", type=str, default="community",
@@ -142,9 +143,15 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
 
     # ------------------------------------------------------ physics operator
     # heat diffusion integrates over L = D - A (the RHS owns the minus sign);
-    # mutualistic/gene couple through the raw adjacency.
+    # mutualistic/gene couple through the raw adjacency. Mutualistic gathers
+    # neighbor STATES per edge, so its sparse forms are ELL (gather) and COO
+    # (edge list, the scalable one) — BSR blocks don't expose endpoints.
     physics_matrix = operators.laplacian_dense(adj) if dynamics_kind == "heat" else adj
-    physics_fmt = "ell" if dynamics_kind == "mutualistic" else args.sparse_format
+    physics_fmt = args.sparse_format
+    if dynamics_kind == "mutualistic" and physics_fmt == "bsr":
+        print("mutualistic physics cannot use BSR; using COO for the "
+              "ground-truth operator")
+        physics_fmt = "coo"
     physics_op = as_operator(physics_matrix, sparse=args.sparse, format=physics_fmt)
 
     # --------------------------------------------------------- ground truth

@@ -290,3 +290,11 @@ def test_replica_sweep_probes_multiple_inits(monkeypatch):
                                  "--test_freq", "2", "--replicas", "3"]))
     assert seen == [3]
     assert np.isfinite(out["final"]["rel_error"])
+
+
+def test_mutualistic_sparse_coo_driver():
+    """Mutualistic --sparse --sparse_format coo: the edge-list interaction
+    end-to-end through the driver (VERDICT r2 missing #2)."""
+    from ndcn_tpu.experiments.dynamics import run
+    out = run("mutualistic", _dyn_args(["--sparse", "--sparse_format", "coo"]))
+    assert np.isfinite(out["final"]["abs_error"])

@@ -161,3 +161,57 @@ def test_row_normalize():
     x = jnp.asarray([[1.0, 3.0], [0.0, 0.0], [-2.0, 2.0]])
     rn = np.asarray(gcn_zoo.row_normalize(x))
     np.testing.assert_allclose(np.abs(rn).sum(1), [1.0, 0.0, 1.0], atol=1e-6)
+
+
+def test_mutualistic_coo_edge_list_matches_dense():
+    """The COO edge-list mutualistic interaction (VERDICT r2 missing #2) must
+    equal the dense closed form — forward AND gradient — on an ASYMMETRIC
+    graph (a wrong transpose-side backward term fails loudly), in both e/h
+    conventions and for d=1 and d>1 states. The tiled (Pallas-kernel) variant
+    of the same math must agree too."""
+    import jax
+    import scipy.sparse as sp
+    from ndcn_tpu.dynamics import rhs as rhs_mod
+    from ndcn_tpu.graph.sparse import from_dense, from_scipy_coo
+
+    rng = np.random.RandomState(0)
+    n = 60
+    dense = (rng.rand(n, n) * (rng.rand(n, n) < 0.2)).astype(np.float32)
+    np.fill_diagonal(dense, 0)
+    op_d = from_dense(dense)
+    op_c = from_scipy_coo(sp.csr_matrix(dense), tiled=False)
+
+    for conv in ("reference", "paper"):
+        for d_cols in (1, 5):
+            x = jnp.asarray(rng.rand(n, d_cols).astype(np.float32) * 3 + 0.2)
+            ct = jnp.asarray(rng.randn(n, d_cols).astype(np.float32))
+            y_d = mutualistic_dynamics(op_d, 0.0, x, convention=conv)
+            y_c = mutualistic_dynamics(op_c, 0.0, x, convention=conv)
+            np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_d),
+                                       rtol=1e-5, atol=1e-5)
+            g_d = jax.grad(lambda xx: jnp.sum(mutualistic_dynamics(
+                op_d, 0.0, xx, convention=conv) * ct))(x)
+            g_c = jax.grad(lambda xx: jnp.sum(mutualistic_dynamics(
+                op_c, 0.0, xx, convention=conv) * ct))(x)
+            np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_d),
+                                       rtol=1e-4, atol=1e-5)
+
+    # tiled (Pallas) variant of the same reduction, forced on (interpret mode)
+    op_t = from_scipy_coo(sp.csr_matrix(dense), tiled=True)
+    orig = rhs_mod._use_tiles
+    rhs_mod._use_tiles = lambda op: op.tiles is not None
+    try:
+        x = jnp.asarray(rng.rand(n, 5).astype(np.float32) * 3 + 0.2)
+        ct = jnp.asarray(rng.randn(n, 5).astype(np.float32))
+        y_t = mutualistic_dynamics(op_t, 0.0, x)
+        y_d = mutualistic_dynamics(op_d, 0.0, x)
+        np.testing.assert_allclose(np.asarray(y_t), np.asarray(y_d),
+                                   rtol=1e-5, atol=1e-5)
+        g_t = jax.grad(lambda xx: jnp.sum(mutualistic_dynamics(
+            op_t, 0.0, xx) * ct))(x)
+        g_d = jax.grad(lambda xx: jnp.sum(mutualistic_dynamics(
+            op_d, 0.0, xx) * ct))(x)
+        np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_d),
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        rhs_mod._use_tiles = orig
