@@ -393,7 +393,14 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
 
         @jax.jit
         def batched_eval(pb):
-            return jax.vmap(lambda p: apply(p, None, deterministic=True)[0])(pb)
+            def one(p):
+                out, ok = apply(p, None, deterministic=True)
+                if ok is not None:
+                    # an exhausted EVAL solve is a truncated trajectory —
+                    # poison it per replica, never report silently wrong logits
+                    out = jnp.where(ok, out, jnp.nan)
+                return out
+            return jax.vmap(one)(pb)
 
         t_start = time.time()
         for epoch in range(args.epochs):
@@ -406,6 +413,21 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                       f"time {time.time() - t_start:.2f}s", flush=True)
         logits_b = batched_eval(params_b)
         t_total = time.time() - t_start
+        # per-replica exhaustion is NaN-poisoned (the solvers flag
+        # success=False per replica); a vmapped sweep cannot roll back one
+        # replica, so name the casualties LOUDLY instead of letting NaN rows
+        # dilute the aggregate silently
+        dead = [i for i in range(r)
+                if not bool(jnp.all(jnp.isfinite(logits_b[i])))]
+        if dead and model_name in ("differential_gcn", "odeGCN"):
+            print(f"[budget] replicas {dead} exhausted the shared step budget "
+                  f"({max_steps}) during training — their rows are NaN; "
+                  f"re-run with a larger --max_steps (the multi-seed probe "
+                  f"sized for the hardest of {min(4, r)} probed inits)",
+                  flush=True)
+        elif dead:
+            print(f"[warn] replicas {dead} produced non-finite logits",
+                  flush=True)
         rows = []
         for i in range(r):
             loss_test = float(cross_entropy(logits_b[i][idx_test], labels[idx_test]))

@@ -39,6 +39,13 @@ from ndcn_tpu.kernels.platform import pallas_interpret
 R_TILE = 128          # rows per output tile (one lane-width)
 E_SLICE = 512         # edge slots per slice (lane multiple)
 
+# Explicit bf16 splits of the contrib operand in the reduction matmul. The
+# one-hot operand is exactly representable in bf16, so k splits leave a
+# ~2^-(8k) relative error: 1 = raw bf16 (~4e-3), 2 = ~1.5e-5, 3 = exact f32.
+# Explicit because Mosaic IGNORES the Precision hint on this dot_general
+# (measured 1.2e-3 error at Precision.HIGH on v5e). Trace-time constant.
+N_SPLITS = 2
+
 
 class CooTiles(NamedTuple):
     """Host-packed sliced row tiles of a row-sorted COO matrix.
@@ -120,14 +127,22 @@ def _make_kernel(E: int, R: int):
         lr = lr_ref[:].reshape(1, E)
         # one-hot row selection lives only in VMEM; [r, e] = (local_row[e] == r)
         onehot_t = (jax.lax.broadcasted_iota(jnp.int32, (R, E), 0) == lr
-                    ).astype(jnp.float32)
+                    ).astype(jnp.bfloat16)
         contrib = g_ref[:, :] * vv_ref[:].reshape(1, E)
-        # 3-pass bf16 (HIGH): the one-hot operand is exact in bf16, so the
-        # product is exact up to the 2-term bf16 split of contrib (~1e-7 rel)
-        out_ref[:, :] += jax.lax.dot_general(
-            contrib, onehot_t, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH)
+        # explicit bf16 split-accumulation (see N_SPLITS): each pass multiplies
+        # a bf16 slice of contrib against the EXACT bf16 one-hot, accumulating
+        # in f32 — the Precision hint is ignored by Mosaic here, so the splits
+        # are spelled out
+        acc = None
+        rem = contrib
+        for _ in range(N_SPLITS):
+            hi = rem.astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                hi, onehot_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+            rem = rem - hi.astype(jnp.float32)
+        out_ref[:, :] += acc
 
     return seg_kernel
 

