@@ -93,9 +93,9 @@ def mutualistic_dynamics(op: GraphOperator, t, x, b: float = 0.1, k: float = 5.0
 
 
 def _use_tiles(op: CooGraph) -> bool:
-    from ndcn_tpu.kernels.platform import pallas_interpret
+    from ndcn_tpu.graph.sparse import use_tiled_kernel
 
-    return op.tiles is not None and not pallas_interpret()
+    return op.tiles is not None and use_tiled_kernel()
 
 
 def _feature_major(x: jnp.ndarray):

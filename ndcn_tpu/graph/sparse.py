@@ -261,6 +261,15 @@ def _coo_matvec_bwd(op, g):
 _coo_matvec.defvjp(_coo_matvec_fwd, _coo_matvec_bwd)
 
 
+def use_tiled_kernel() -> bool:
+    """Dispatch seam: route tile-packed COO matvecs through the Pallas kernel?
+    True on TPU execution only (tests monkeypatch this to exercise the kernel
+    path in interpret mode on CPU)."""
+    from ndcn_tpu.kernels.platform import pallas_interpret
+
+    return not pallas_interpret()
+
+
 def matvec(op: GraphOperator, x: jnp.ndarray) -> jnp.ndarray:
     """A @ X for X of shape (n, d). The hot op of every model RHS."""
     custom = getattr(op, "_matvec", None)
@@ -273,17 +282,15 @@ def matvec(op: GraphOperator, x: jnp.ndarray) -> jnp.ndarray:
 
         return bsr_spmm(op.fwd, op.bwd, x)
     if isinstance(op, CooGraph):
-        if op.tiles is not None and x.ndim == 2 and x.shape[1] > 1:
-            from ndcn_tpu.kernels.platform import pallas_interpret
+        if op.tiles is not None and x.ndim == 2 and x.shape[1] > 1 \
+                and use_tiled_kernel():
+            # TPU: the Pallas sliced-tile segment-sum kernel (scatter-free
+            # MXU reduction; kernels/coo_spmv.py). CPU execution keeps the
+            # XLA path below — its compiled scatter is fine there, while
+            # interpret-mode pallas at millions of edges is minutes-slow.
+            from ndcn_tpu.kernels.coo_spmv import tiled_spmv
 
-            if not pallas_interpret():
-                # TPU: the Pallas sliced-tile segment-sum kernel (scatter-free
-                # MXU reduction; kernels/coo_spmv.py). CPU execution keeps the
-                # XLA path below — its compiled scatter is fine there, while
-                # interpret-mode pallas at millions of edges is minutes-slow.
-                from ndcn_tpu.kernels.coo_spmv import tiled_spmv
-
-                return tiled_spmv(op.tiles, op.tiles_t, x)
+            return tiled_spmv(op.tiles, op.tiles_t, x)
         if op.rows_t is not None:
             return _coo_matvec(op, x)
         return _coo_apply(op.rows, op.cols, op.vals, op.n, x)
