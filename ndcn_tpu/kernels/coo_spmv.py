@@ -36,8 +36,12 @@ import numpy as np
 
 from ndcn_tpu.kernels.platform import pallas_interpret
 
-R_TILE = 128          # rows per output tile (one lane-width)
-E_SLICE = 512         # edge slots per slice (lane multiple)
+# Defaults from the v5e-1 sweep (tools/tune_coo_kernel.py, 200k nodes /
+# 2.2M edges / d=20): R=512, E=2048 won at 9.5 ms e2e vs 10.7 for R=128 —
+# larger tiles aggregate more edges per slice, cutting both slice-padding
+# (1.09x vs 1.46x, which the gather pays for directly) and grid-step count.
+R_TILE = 512          # rows per output tile (lane multiple)
+E_SLICE = 2048        # edge slots per slice (lane multiple)
 
 # Explicit bf16 splits of the contrib operand in the reduction matmul. The
 # one-hot operand is exactly representable in bf16, so k splits leave a

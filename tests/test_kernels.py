@@ -305,18 +305,24 @@ def test_coo_tiled_spmv_matches_dense():
     op = from_scipy_coo(a, tiled=True)
     assert op.tiles is not None and op.tiles_t is not None
     ref = np.asarray(a @ np.asarray(x))
+    # tolerances sized for the kernel's 2-term bf16 split-accumulation
+    # (~1.5e-5 relative per contrib element, random-walk over hub-row fan-in;
+    # interpret mode executes the same numerics as the TPU)
+    scale = np.abs(ref).max()
     got = np.asarray(tiled_spmv(op.tiles, op.tiles_t, x))
-    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4 * scale)
 
     ct = jnp.asarray(rng.randn(*x.shape).astype(np.float32))
     g = jax.grad(lambda xx: jnp.sum(tiled_spmv(op.tiles, op.tiles_t, xx) * ct))(x)
     g_ref = np.asarray(a.T @ np.asarray(ct))
-    np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-4,
+                               atol=1e-4 * np.abs(g_ref).max())
 
     # narrow feature dims pad sublanes, not lanes
     for d in (3, 8):
         got_d = np.asarray(tiled_spmv(op.tiles, op.tiles_t, x[:, :d]))
-        np.testing.assert_allclose(got_d, ref[:, :d], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got_d, ref[:, :d], rtol=1e-4,
+                                   atol=1e-4 * scale)
 
 
 def test_coo_tiled_operator_cotangent_is_nan_poisoned():
