@@ -60,6 +60,12 @@ def main(argv=None):
                          "kernel on TPU) or ELL gather+einsum (pads rows to "
                          "max degree; only viable on tight degree "
                          "distributions)")
+    ap.add_argument("--kernel_precision", type=str, default="split2",
+                    choices=["split2", "bf16"],
+                    help="COO kernel numerics: split2 (two-term bf16 split "
+                         "accumulation, ~2e-6 rel err) or bf16 (gather and "
+                         "reduce in bf16, ~4e-3 — sound for SGD at rtol "
+                         "0.01, ~1.5x faster train steps)")
     ap.add_argument("--mesh", action="store_true",
                     help="row-shard the operator and node-major arrays over "
                          "all visible devices ('model' axis); prints a "
@@ -76,6 +82,10 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    if args.kernel_precision == "bf16":
+        from ndcn_tpu.kernels import coo_spmv
+        coo_spmv.GATHER_BF16 = True
 
     from ndcn_tpu.dynamics import make_rhs
     from ndcn_tpu.graph.operators import normalized_laplacian_sparse

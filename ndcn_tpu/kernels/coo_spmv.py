@@ -45,10 +45,17 @@ E_SLICE = 2048        # edge slots per slice (lane multiple)
 
 # Explicit bf16 splits of the contrib operand in the reduction matmul. The
 # one-hot operand is exactly representable in bf16, so k splits leave a
-# ~2^-(8k) relative error: 1 = raw bf16 (~4e-3), 2 = ~1.5e-5, 3 = exact f32.
+# ~2^-(8k) relative error: 1 = raw bf16 (~4e-3), 2 = ~1.9e-6, 3 = 1e-7.
 # Explicit because Mosaic IGNORES the Precision hint on this dot_general
 # (measured 1.2e-3 error at Precision.HIGH on v5e). Trace-time constant.
 N_SPLITS = 2
+
+# Fast mode: gather x[cols] in bf16, halving the dominant SpMV cost (the
+# gathered (d, slots) tensor's HBM write+read — the 200k-node train step is
+# ~85% SpMV and the SpMV ~45% gather). Implies 1-split numerics (~4e-3 rel);
+# sound for SGD training at the drivers' rtol=0.01 but NOT for parity runs.
+# Trace-time constant; the scale demo exposes it as --kernel_precision bf16.
+GATHER_BF16 = False
 
 
 class CooTiles(NamedTuple):
@@ -139,7 +146,8 @@ def _make_kernel(E: int, R: int):
         # are spelled out
         acc = None
         rem = contrib
-        for _ in range(N_SPLITS):
+        n_splits = 1 if GATHER_BF16 else N_SPLITS
+        for _ in range(n_splits):
             hi = rem.astype(jnp.bfloat16)
             part = jax.lax.dot_general(
                 hi, onehot_t, (((1,), (1,)), ((), ())),
@@ -181,6 +189,8 @@ def _reduce_call(tiles: CooTiles, gathered: jnp.ndarray) -> jnp.ndarray:
 
 def _spmv_T(tiles: CooTiles, xT: jnp.ndarray) -> jnp.ndarray:
     """A @ X in feature-major form: xT (d_sub, n) -> (d_sub, n), f32."""
+    if GATHER_BF16:
+        xT = xT.astype(jnp.bfloat16)
     gathered = jnp.take(xT, tiles.cols, axis=1)       # (d_sub, S*E)
     return _reduce_call(tiles, gathered)[:, : tiles.n]
 
