@@ -85,7 +85,12 @@ def ode_func(params: Dict[str, Any], op: GraphOperator, t, h,
             return bsr_fused_rhs(op.fwd, op.bwd, h, params["wt"]["w"],
                                  params["wt"]["b"])
     if not no_graph:
-        h = matvec(op, h)
+        # checkpoint_name: under the training scan's remat policy
+        # (ode/adaptive.solve_scan), the SpMV output is SAVED for the
+        # backward instead of re-running the forward kernel per step
+        from jax.ad_checkpoint import checkpoint_name
+
+        h = checkpoint_name(matvec(op, h), "ndcn_spmv")
     if not no_control:
         h = nn.linear_apply(params["wt"], h)
     if drop_mask is not None:

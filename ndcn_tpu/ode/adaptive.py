@@ -24,6 +24,7 @@ Step-control semantics match the reference exactly (see step_control.py).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -284,7 +285,17 @@ def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
     interp_zero = tree_map(lambda l: l.reshape(-1), interp_tmpl)
     guarded = _make_guarded_attempt(method, func, ctrl, tdtype, interp_zero)
 
-    @jax.checkpoint
+    # Rematerialized per-iteration backward — but SAVE any value the model
+    # tagged with checkpoint_name("ndcn_spmv") (the graph SpMV output,
+    # models/ndcn.ode_func): its producer is the most expensive op in the
+    # body (a Pallas kernel / gather+segment-sum at scale) while its residual
+    # footprint is one (n, d) state per stage. Saving it means the backward
+    # replays the cheap epilogue ops but never re-runs the forward SpMV —
+    # measured 855 -> ~600 ms per 200k-node train step. Functions with no
+    # tagged values save nothing (identical to plain jax.checkpoint).
+    _policy = jax.checkpoint_policies.save_only_these_names("ndcn_spmv")
+
+    @partial(jax.checkpoint, policy=_policy)
     def body_fn(c):
         done = (c["rk"]["t1"] >= t_final) | (~c["ok"])
 
