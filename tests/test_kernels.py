@@ -413,3 +413,25 @@ def test_ndcn_trains_through_tiled_coo_kernel(monkeypatch):
                     jax.tree_util.tree_leaves(g_xla)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=2e-5)
+
+
+def test_tiled_coo_d1_routes_flat_path(monkeypatch):
+    """d=1 states keep the flat (nnz,) XLA path even when tiles are present
+    and the kernel dispatch is on — (8, E)-padded kernel inputs would waste 8x
+    on the physics state, and the flat path is already layout-optimal.
+    Forward and gradient must match the dense oracle."""
+    import ndcn_tpu.graph.sparse as gs
+
+    rng = np.random.RandomState(5)
+    n = 120
+    dense = (rng.rand(n, n) * (rng.rand(n, n) < 0.15)).astype(np.float32)
+    op = gs.from_scipy_coo(sp.csr_matrix(dense), tiled=True)
+    monkeypatch.setattr(gs, "use_tiled_kernel", lambda: True)
+    x1 = jnp.asarray(rng.rand(n, 1), jnp.float32)
+    y = gs.matvec(op, x1)
+    np.testing.assert_allclose(np.asarray(y), dense @ np.asarray(x1),
+                               rtol=1e-5, atol=1e-5)
+    ct = jnp.asarray(rng.randn(n, 1).astype(np.float32))
+    g = jax.grad(lambda xx: jnp.sum(gs.matvec(op, xx) * ct))(x1)
+    np.testing.assert_allclose(np.asarray(g), dense.T @ np.asarray(ct),
+                               rtol=1e-5, atol=1e-5)
