@@ -205,6 +205,29 @@ def tiled_spmv_raw(tiles: CooTiles, x: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.custom_vjp
+def spmv_T(tiles: CooTiles, tiles_t: CooTiles, xT: jnp.ndarray):
+    """Feature-major differentiable SpMV: xT (d_sub, n) -> (A @ X)ᵀ (d_sub, n).
+
+    The native form of the kernel — no per-call transposes; callers that keep
+    the whole ODE state feature-major (models/ndcn.py layout='feature_major')
+    pay the (n, d) <-> (d_sub, n) relayout once per solve instead of once per
+    RHS eval, and every solver elementwise op runs on an unpadded layout
+    (a (n, 20) f32 array pads 6.4x under the (8, 128) tiling; (24, n) pads
+    1.2x). Constant operator: NaN-poisoned cotangents."""
+    return _spmv_T(tiles, xT)
+
+
+def _spmv_T_fwd(tiles, tiles_t, xT):
+    return _spmv_T(tiles, xT), (tiles, tiles_t)
+
+
+def _spmv_T_bwd(res, gT):
+    tiles, tiles_t = res
+    dxT = _spmv_T(tiles_t, gT)
+    return _poison_tiles(tiles), _poison_tiles(tiles_t), dxT
+
+
+@jax.custom_vjp
 def tiled_spmv(tiles: CooTiles, tiles_t: CooTiles, x: jnp.ndarray):
     """Differentiable (in x) tiled COO SpMV; ``tiles_t`` packs A-transpose so
     the backward is the same kernel (sorted, scatter-free). The operator is a
@@ -213,25 +236,26 @@ def tiled_spmv(tiles: CooTiles, tiles_t: CooTiles, x: jnp.ndarray):
     return tiled_spmv_raw(tiles, x)
 
 
+def _poison_tiles(t: CooTiles) -> CooTiles:
+    from ndcn_tpu.graph.sparse import _nan_cotangent
+
+    return CooTiles(tile_of=_nan_cotangent(t.tile_of),
+                    first=_nan_cotangent(t.first),
+                    local_rows=_nan_cotangent(t.local_rows),
+                    cols=_nan_cotangent(t.cols),
+                    vals=_nan_cotangent(t.vals),
+                    n=t.n, n_pad=t.n_pad, R=t.R, E=t.E)
+
+
 def _fwd(tiles, tiles_t, x):
     return tiled_spmv_raw(tiles, x), (tiles, tiles_t)
 
 
 def _bwd(res, g):
     tiles, tiles_t = res
-    from ndcn_tpu.graph.sparse import _nan_cotangent
-
     dx = tiled_spmv_raw(tiles_t, g)
-
-    def poison(t: CooTiles) -> CooTiles:
-        return CooTiles(tile_of=_nan_cotangent(t.tile_of),
-                        first=_nan_cotangent(t.first),
-                        local_rows=_nan_cotangent(t.local_rows),
-                        cols=_nan_cotangent(t.cols),
-                        vals=_nan_cotangent(t.vals),
-                        n=t.n, n_pad=t.n_pad, R=t.R, E=t.E)
-
-    return poison(tiles), poison(tiles_t), dx
+    return _poison_tiles(tiles), _poison_tiles(tiles_t), dx
 
 
 tiled_spmv.defvjp(_fwd, _bwd)
+spmv_T.defvjp(_spmv_T_fwd, _spmv_T_bwd)

@@ -140,6 +140,40 @@ def init_ndcn(key, input_size: int, hidden_size: int, num_classes: int,
     return params
 
 
+def _feature_major_ok(op, h, no_graph, no_control, dropout, fused) -> bool:
+    """Auto-layout predicate: solve with the ODE state held feature-major
+    (d_sub, n) when the operator serves the Pallas tiled-COO kernel and the
+    hidden width pays lane padding in the (n, d) layout. Excludes ablations /
+    dropout / fused (those paths are written for (n, d))."""
+    from ndcn_tpu.graph.sparse import CooGraph, use_tiled_kernel
+
+    return (isinstance(op, CooGraph) and op.tiles is not None
+            and not (no_graph or no_control or dropout > 0.0 or fused)
+            and h.ndim == 2 and h.shape[1] > 1 and h.shape[1] % 128 != 0
+            and use_tiled_kernel())
+
+
+def ode_func_T(params: Dict[str, Any], op, t, hT) -> jnp.ndarray:
+    """The learned RHS in FEATURE-MAJOR form: hT (d_sub, n), rows >= d zero.
+
+    relu((A h) W + b) transposes to relu(Wᵀ (A h)ᵀ + b[:, None]); the SpMV
+    runs the tiled kernel natively (no per-eval transposes) and every
+    intermediate keeps the huge node dim minor. Zero pad rows stay zero:
+    Wᵀ_pad has zero pad rows and b pads with zeros, so relu leaves them 0."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    from ndcn_tpu.kernels.coo_spmv import spmv_T
+
+    d_sub = hT.shape[0]
+    w = params["wt"]["w"]
+    d = w.shape[0]
+    ahT = checkpoint_name(spmv_T(op.tiles, op.tiles_t, hT), "ndcn_spmv")
+    wT_p = jnp.zeros((d_sub, d_sub), w.dtype).at[:d, :d].set(w.T)
+    b_p = jnp.zeros((d_sub, 1), w.dtype).at[:d, 0].set(params["wt"]["b"])
+    return jax.nn.relu(
+        jnp.matmul(wT_p, ahT, preferred_element_type=ahT.dtype) + b_p)
+
+
 def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
                  x: jnp.ndarray, *, rtol: float = 0.01, atol: float = 0.001,
                  method: str = "dopri5", terminal: bool = False,
@@ -147,10 +181,20 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
                  no_control: bool = False, dropout: float = 0.0,
                  rng: Optional[jax.Array] = None, adjoint: bool = False,
                  max_steps: int = 256, nondiff: bool = False,
-                 fused: bool = False):
+                 fused: bool = False, layout: str = "auto"):
     """Full NDCN forward. Returns (output, stats).
 
     output: (T, n, num_classes) trajectory, or (n, num_classes) if terminal.
+
+    ``layout``: 'nd' solves with the (n, d) state; 'feature_major' transposes
+    the ODE state to (d_sub, n) for the solve — the TPU-native layout for
+    tiled-COO operators at scale (the node dim rides the 128-lane minor
+    position, so solver arithmetic stops paying the 128/d padding tax and the
+    kernel needs no per-eval transposes). 'auto' picks feature_major exactly
+    when that applies (_feature_major_ok). NB feature_major widens the
+    error-norm element count by d_sub/d (the zero pad rows contribute zero
+    error), equivalent to scaling rtol by ~(d_sub/d)^(1/2) ≈ 1.05 at d=20 —
+    fine for training tolerances, excluded from parity fixtures.
     """
     h = x
     if not no_embed:
@@ -158,17 +202,46 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
         if "enc2" in params:
             h = nn.linear_apply(params["enc2"], h)
 
+    if layout not in ("auto", "nd", "feature_major"):
+        raise ValueError(f"unknown layout {layout!r}")
+    feature_major = (layout == "feature_major"
+                     or (layout == "auto"
+                         and _feature_major_ok(op, h, no_graph, no_control,
+                                               dropout, fused)))
+
     drop_mask = None
     if dropout > 0.0 and rng is not None:
         drop_mask = nn.dropout_mask(rng, h.shape, dropout, h.dtype)
 
-    def func(p, t, hh):
-        return ode_func(p, op, t, hh, no_graph=no_graph, no_control=no_control,
-                        drop_mask=drop_mask, fused=fused)
-
     ode_params = {k: params[k] for k in ("wt",) if k in params}
-    hvx, stats = ode_block(func, h, vt, rtol, atol, method, terminal=terminal,
-                           adjoint=adjoint, params=ode_params, max_steps=max_steps,
-                           nondiff=nondiff)
+    if feature_major:
+        if no_control or no_graph or drop_mask is not None:
+            raise ValueError("layout='feature_major' requires the full RHS "
+                             "(graph + control on, dropout 0)")
+        d = h.shape[1]
+        d_sub = max(8, -(-d // 8) * 8)
+        hT = jnp.pad(h, ((0, 0), (0, d_sub - d))).T      # (d_sub, n)
+
+        def func(p, t, hh):
+            return ode_func_T(p, op, t, hh)
+
+        hvx_T, stats = ode_block(func, hT, vt, rtol, atol, method,
+                                 terminal=terminal, adjoint=adjoint,
+                                 params=ode_params, max_steps=max_steps,
+                                 nondiff=nondiff)
+        if terminal:
+            hvx = hvx_T[:d].T                            # (n, d)
+        else:
+            hvx = jnp.transpose(hvx_T[:, :d, :], (0, 2, 1))  # (T, n, d)
+    else:
+        def func(p, t, hh):
+            return ode_func(p, op, t, hh, no_graph=no_graph,
+                            no_control=no_control, drop_mask=drop_mask,
+                            fused=fused)
+
+        hvx, stats = ode_block(func, h, vt, rtol, atol, method,
+                               terminal=terminal, adjoint=adjoint,
+                               params=ode_params, max_steps=max_steps,
+                               nondiff=nondiff)
     out = nn.linear_apply(params["dec"], hvx)
     return out, stats

@@ -435,3 +435,71 @@ def test_tiled_coo_d1_routes_flat_path(monkeypatch):
     g = jax.grad(lambda xx: jnp.sum(gs.matvec(op, xx) * ct))(x1)
     np.testing.assert_allclose(np.asarray(g), dense.T @ np.asarray(ct),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_feature_major_layout_matches_nd(monkeypatch):
+    """layout='feature_major' (the (d_sub, n) solve state for tiled-COO
+    operators at scale) must match the (n, d) layout: bitwise on fixed-grid
+    forwards/gradients, and to solver-noise on the adaptive path (its error
+    norm spans d_sub/d more elements — zero rows — so step SIZES differ
+    slightly; docstring in models/ndcn.ndcn_forward)."""
+    import ndcn_tpu.graph.sparse as gs
+    from ndcn_tpu.models import init_ndcn, ndcn_forward
+
+    rng = np.random.RandomState(0)
+    n = 90
+    dense = (rng.rand(n, n) * (rng.rand(n, n) < 0.1)).astype(np.float32)
+    np.fill_diagonal(dense, 0)
+    op = gs.from_scipy_coo(sp.csr_matrix(dense), tiled=True)
+    x0 = jnp.asarray(rng.rand(n, 1), jnp.float32)
+    vt = jnp.linspace(0.0, 1.0, 5)
+    params = init_ndcn(jax.random.PRNGKey(0), 1, 20, 1)
+    target = jnp.asarray(rng.rand(5, n, 1), jnp.float32)
+    monkeypatch.setattr(gs, "use_tiled_kernel", lambda: True)
+
+    def loss(p, layout, method):
+        out, stats = ndcn_forward(p, op, vt, x0, rtol=0.01, atol=0.001,
+                                  method=method, max_steps=24, layout=layout)
+        l = jnp.mean(jnp.abs(out - target))
+        return l if stats is None else jnp.where(stats.success, l, jnp.nan)
+
+    # fixed grid: identical math, no controller in the way
+    g_nd = jax.grad(lambda p: loss(p, "nd", "rk4"))(params)
+    g_fm = jax.grad(lambda p: loss(p, "feature_major", "rk4"))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_nd),
+                    jax.tree_util.tree_leaves(g_fm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+    # adaptive: same solution up to tolerance-level noise
+    l_nd = float(loss(params, "nd", "dopri5"))
+    l_fm = float(loss(params, "feature_major", "dopri5"))
+    assert np.isfinite(l_fm)
+    np.testing.assert_allclose(l_fm, l_nd, rtol=1e-3)
+    # terminal variant round-trips the transpose correctly
+    out_t, _ = ndcn_forward(params, op, vt, x0, method="rk4", terminal=True,
+                            layout="feature_major")
+    out_n, _ = ndcn_forward(params, op, vt, x0, method="rk4", terminal=True,
+                            layout="nd")
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_n), atol=1e-6)
+
+
+def test_feature_major_auto_predicate(monkeypatch):
+    """'auto' picks feature_major exactly for tiled-COO + unfused full RHS +
+    lane-padded hidden width on TPU execution."""
+    import ndcn_tpu.graph.sparse as gs
+    from ndcn_tpu.models.ndcn import _feature_major_ok
+
+    rng = np.random.RandomState(1)
+    dense = (rng.rand(40, 40) * (rng.rand(40, 40) < 0.2)).astype(np.float32)
+    op_tiled = gs.from_scipy_coo(sp.csr_matrix(dense), tiled=True)
+    op_plain = gs.from_scipy_coo(sp.csr_matrix(dense), tiled=False)
+    h = jnp.zeros((40, 20))
+    monkeypatch.setattr(gs, "use_tiled_kernel", lambda: True)
+    assert _feature_major_ok(op_tiled, h, False, False, 0.0, False)
+    assert not _feature_major_ok(op_plain, h, False, False, 0.0, False)
+    assert not _feature_major_ok(op_tiled, h, True, False, 0.0, False)
+    assert not _feature_major_ok(op_tiled, h, False, False, 0.5, False)
+    assert not _feature_major_ok(op_tiled, jnp.zeros((40, 128)), False, False,
+                                 0.0, False)
+    monkeypatch.setattr(gs, "use_tiled_kernel", lambda: False)
+    assert not _feature_major_ok(op_tiled, h, False, False, 0.0, False)
