@@ -136,9 +136,10 @@ def from_scipy_bsr_graph(mat: sp.spmatrix) -> BsrGraph:
 
 # Above this many edges the sliced-tile packing for the Pallas segment-sum
 # kernel is built at construction (host-side, vectorized numpy): the XLA
-# scatter path it replaces degrades to ~100M rows/s on TPU, which at 200k+
-# edge counts dominates the train step (docs/PARITY.md).
-TILE_PACK_THRESHOLD = 200_000
+# scatter path it replaces degrades to ~100M rows/s on TPU, which already
+# dominates SpMV time at pubmed-scale edge counts and the whole train step
+# at 2M edges (docs/PARITY.md).
+TILE_PACK_THRESHOLD = 50_000
 
 
 def from_scipy_coo(mat: sp.spmatrix, dtype=jnp.float32,

@@ -141,10 +141,16 @@ def init_ndcn(key, input_size: int, hidden_size: int, num_classes: int,
 
 
 def _feature_major_ok(op, h, no_graph, no_control, dropout, fused) -> bool:
-    """Auto-layout predicate: solve with the ODE state held feature-major
-    (d_sub, n) when the operator serves the Pallas tiled-COO kernel and the
+    """Layout-eligibility predicate: the feature-major (d_sub, n) solve
+    applies when the operator serves the Pallas tiled-COO kernel and the
     hidden width pays lane padding in the (n, d) layout. Excludes ablations /
-    dropout / fused (those paths are written for (n, d))."""
+    dropout / fused (those paths are written for (n, d)).
+
+    NB 'auto' does NOT select it: measured head-to-head at 200k nodes
+    (docs/PARITY.md), feature-major ties the (n, d) layout — the SpMV is
+    bound by the XLA gather's row rate (~560M rows/s), and the padded
+    elementwise traffic the transposed state would save hides under it. The
+    layout stays available explicitly for shapes where that balance differs."""
     from ndcn_tpu.graph.sparse import CooGraph, use_tiled_kernel
 
     return (isinstance(op, CooGraph) and op.tiles is not None
@@ -190,8 +196,11 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
     the ODE state to (d_sub, n) for the solve — the TPU-native layout for
     tiled-COO operators at scale (the node dim rides the 128-lane minor
     position, so solver arithmetic stops paying the 128/d padding tax and the
-    kernel needs no per-eval transposes). 'auto' picks feature_major exactly
-    when that applies (_feature_major_ok). NB feature_major widens the
+    kernel needs no per-eval transposes). 'auto' currently resolves to 'nd':
+    measured at 200k nodes the layouts tie — the SpMV is gather-row-rate
+    bound, so the saved padded traffic hides under it (_feature_major_ok
+    docstring) — and 'nd' keeps the reference error-norm semantics.
+    NB feature_major widens the
     error-norm element count by d_sub/d (the zero pad rows contribute zero
     error), equivalent to scaling rtol by ~(d_sub/d)^(1/2) ≈ 1.05 at d=20 —
     fine for training tolerances, excluded from parity fixtures.
@@ -204,10 +213,13 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
 
     if layout not in ("auto", "nd", "feature_major"):
         raise ValueError(f"unknown layout {layout!r}")
-    feature_major = (layout == "feature_major"
-                     or (layout == "auto"
-                         and _feature_major_ok(op, h, no_graph, no_control,
-                                               dropout, fused)))
+    feature_major = layout == "feature_major"
+    if feature_major and not _feature_major_ok(op, h, no_graph, no_control,
+                                               dropout, fused):
+        raise ValueError("layout='feature_major' requires a tile-packed COO "
+                         "operator on TPU with the full RHS (graph + control "
+                         "on, dropout 0, unfused) and a lane-padded hidden "
+                         "width")
 
     drop_mask = None
     if dropout > 0.0 and rng is not None:
