@@ -70,6 +70,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train --iter INDEPENDENT replicas simultaneously "
                         "(vmapped; differs from the reference's accumulating "
                         "--iter loop)")
+    p.add_argument("--budget_buckets", type=int, default=1,
+                   help="with --batch_iters and an auto budget: probe EVERY "
+                        "replica init and split the sweep into up to this "
+                        "many vmapped programs grouped by step budget, so "
+                        "easy replicas stop paying the hardest init's frozen "
+                        "scan slots (a batched cond runs every budgeted "
+                        "attempt for all replicas). 1 = one shared budget; "
+                        ">1 trades extra compiles for tighter budgets "
+                        "(single-chip only — ignored under --mesh)")
     p.add_argument("--mesh", action="store_true",
                    help="multi-chip: with --batch_iters, shard replicas over "
                         "the mesh 'data' axis and node-major arrays over "
@@ -179,6 +188,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
 
         max_steps = args.max_steps
         budget_is_auto = False
+        replica_budgets = None  # per-replica probe results (--budget_buckets)
         if max_steps <= 0 and args.method in ("dopri5", "tsit5"):
             from ndcn_tpu.train.budget import (probe_step_budget,
                                                probe_step_budget_multi, to_cpu)
@@ -210,11 +220,24 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                 # init keys, split below), with generous headroom
                 enc_layers = 2 if model_name == "odeGCN" else 1
                 rkeys = jax.random.split(init_key, args.iter)
-                probes = [probe_with(init_ndcn(
-                    rkeys[i], in_dim, args.hidden, num_classes,
-                    no_control=no_control, encoder_layers=enc_layers))
-                    for i in range(min(4, args.iter))]
-                max_steps = probe_step_budget_multi(probes)
+                if args.budget_buckets > 1:
+                    # per-replica probes (CPU, one shared compile): every
+                    # replica gets its own quantized budget, grouped below
+                    # into <= budget_buckets vmapped programs so easy
+                    # replicas stop paying frozen slots for the hardest init
+                    from ndcn_tpu.train.budget import probe_step_budget_each
+                    probes = [probe_with(init_ndcn(
+                        rkeys[i], in_dim, args.hidden, num_classes,
+                        no_control=no_control, encoder_layers=enc_layers))
+                        for i in range(args.iter)]
+                    replica_budgets = probe_step_budget_each(probes)
+                    max_steps = int(max(replica_budgets))
+                else:
+                    probes = [probe_with(init_ndcn(
+                        rkeys[i], in_dim, args.hidden, num_classes,
+                        no_control=no_control, encoder_layers=enc_layers))
+                        for i in range(min(4, args.iter))]
+                    max_steps = probe_step_budget_multi(probes)
             else:
                 # snug budget: the epoch loop below recovers from exhaustion
                 # by rollback + budget doubling (train/elastic.py)
@@ -384,34 +407,73 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
             features = shards["features"]
         from functools import partial as _p
 
-        @_p(jax.jit, donate_argnums=(0, 1))
-        def batched_step(pb, sb, rngs):
-            def one(p, s, rng):
-                p, s, loss, _ = sgd_step(p, s, rng)
-                return p, s, loss
-            return jax.vmap(one)(pb, sb, rngs)
+        def make_batched_fns(sgd_one, apply_one):
+            @_p(jax.jit, donate_argnums=(0, 1))
+            def batched_step(pb, sb, rngs):
+                def one(p, s, rng):
+                    p, s, loss, _ = sgd_one(p, s, rng)
+                    return p, s, loss
+                return jax.vmap(one)(pb, sb, rngs)
 
-        @jax.jit
-        def batched_eval(pb):
-            def one(p):
-                out, ok = apply(p, None, deterministic=True)
-                if ok is not None:
-                    # an exhausted EVAL solve is a truncated trajectory —
-                    # poison it per replica, never report silently wrong logits
-                    out = jnp.where(ok, out, jnp.nan)
-                return out
-            return jax.vmap(one)(pb)
+            @jax.jit
+            def batched_eval(pb):
+                def one(p):
+                    out, ok = apply_one(p, None, deterministic=True)
+                    if ok is not None:
+                        # an exhausted EVAL solve is a truncated trajectory —
+                        # poison it per replica, never report silently wrong
+                        # logits
+                        out = jnp.where(ok, out, jnp.nan)
+                    return out
+                return jax.vmap(one)(pb)
 
+            return batched_step, batched_eval
+
+        # Bucket replicas by per-init budget (--budget_buckets > 1): each
+        # bucket is its own vmapped program with a snugger max_steps, so the
+        # easy majority stops paying the hardest init's frozen scan slots
+        # (the batched cond degrades to select — every budgeted attempt runs
+        # for every replica). Single-chip only: the mesh path shards one
+        # replica axis and would need per-bucket remeshing.
+        buckets = [(max_steps, np.arange(r))]
+        if (args.budget_buckets > 1 and replica_budgets is not None
+                and mesh is None):
+            from ndcn_tpu.train.budget import bucket_budgets
+            buckets = bucket_budgets(replica_budgets, args.budget_buckets)
+            print("budget buckets: " + ", ".join(
+                f"{len(ix)} replica(s) @ max_steps {b}" for b, ix in buckets),
+                flush=True)
+        elif args.budget_buckets > 1 and mesh is not None:
+            print("--budget_buckets ignored under --mesh (single shared "
+                  "budget)", flush=True)
+
+        logits_by_idx = {}
         t_start = time.time()
-        for epoch in range(args.epochs):
-            key, rng = jax.random.split(key)
-            params_b, opt_state_b, losses = batched_step(
-                params_b, opt_state_b, jax.random.split(rng, r))
-            if (epoch + 1) % max(1, args.epochs // 10) == 0:
-                print(f"Epoch {epoch + 1:04d} | mean train loss "
-                      f"{float(jnp.mean(losses)):.4f} | {r} replicas | "
-                      f"time {time.time() - t_start:.2f}s", flush=True)
-        logits_b = batched_eval(params_b)
+        for bi, (ms_b, idxs) in enumerate(buckets):
+            r_b = len(idxs)
+            if len(buckets) == 1:
+                sgd_b, apply_b = sgd_step, apply
+                pb, sb = params_b, opt_state_b
+            else:
+                apply_b = make_apply(ms_b)
+                sgd_b = build_fns(apply_b)[0]
+                pb = jax.tree_util.tree_map(lambda l: l[idxs], params_b)
+                sb = jax.tree_util.tree_map(lambda l: l[idxs], opt_state_b)
+            bstep, beval = make_batched_fns(sgd_b, apply_b)
+            bkey = key if len(buckets) == 1 else jax.random.fold_in(key, bi)
+            tag = "" if len(buckets) == 1 else f" [bucket {bi}: ms {ms_b}]"
+            for epoch in range(args.epochs):
+                bkey, rng = jax.random.split(bkey)
+                pb, sb, losses = bstep(pb, sb, jax.random.split(rng, r_b))
+                if (epoch + 1) % max(1, args.epochs // 10) == 0:
+                    print(f"Epoch {epoch + 1:04d} | mean train loss "
+                          f"{float(jnp.mean(losses)):.4f} | {r_b} replicas"
+                          f"{tag} | time {time.time() - t_start:.2f}s",
+                          flush=True)
+            logits_bucket = beval(pb)
+            for j, i in enumerate(idxs):
+                logits_by_idx[int(i)] = logits_bucket[j]
+        logits_b = [logits_by_idx[i] for i in range(r)]
         t_total = time.time() - t_start
         # per-replica exhaustion is NaN-poisoned (the solvers flag
         # success=False per replica); a vmapped sweep cannot roll back one
@@ -420,10 +482,12 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         dead = [i for i in range(r)
                 if not bool(jnp.all(jnp.isfinite(logits_b[i])))]
         if dead and model_name in ("differential_gcn", "odeGCN"):
-            print(f"[budget] replicas {dead} exhausted the shared step budget "
-                  f"({max_steps}) during training — their rows are NaN; "
-                  f"re-run with a larger --max_steps (the multi-seed probe "
-                  f"sized for the hardest of {min(4, r)} probed inits)",
+            print(f"[budget] replicas {dead} exhausted their step budget "
+                  f"during training — their rows are NaN; re-run with a "
+                  f"larger --max_steps (budgets were probe-sized: "
+                  + ("one per bucket" if len(buckets) > 1 else
+                     f"max_steps={max_steps} from the hardest of "
+                     f"{min(4, r)} probed inits") + ")",
                   flush=True)
         elif dead:
             print(f"[warn] replicas {dead} produced non-finite logits",

@@ -149,9 +149,15 @@ def _make_kernel(E: int, R: int):
         n_splits = 1 if GATHER_BF16 else N_SPLITS
         for _ in range(n_splits):
             hi = rem.astype(jnp.bfloat16)
+            # precision is pinned to DEFAULT: numerics are controlled by the
+            # explicit bf16 splits above, and a global HIGHEST default (set by
+            # --precision float32 parity runs) makes Mosaic reject the bf16
+            # operands outright ("Bad lhs type": fp32 contract precision on a
+            # bf16 tpu.matmul)
             part = jax.lax.dot_general(
                 hi, onehot_t, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
             acc = part if acc is None else acc + part
             rem = rem - hi.astype(jnp.float32)
         out_ref[:, :] += acc

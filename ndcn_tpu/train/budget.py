@@ -121,3 +121,44 @@ def probe_step_budget_multi(solves, floor: int = 16, headroom: float = 4.0,
                            int(stats.n_accepted) + int(stats.n_rejected))
     budget = max(floor, int(headroom * attempts) + slack)
     return -(-budget // quantum) * quantum
+
+
+def probe_step_budget_each(solves, floor: int = 16, headroom: float = 4.0,
+                           slack: int = 8, quantum: int = 8) -> list:
+    """Per-probe budgets (same formula as ``probe_step_budget``), one per
+    solve. Feed to ``bucket_budgets`` to split a replica sweep into a few
+    vmapped programs instead of sizing every replica for the hardest init —
+    a frozen scan slot costs real time in EVERY replica of the batch (the
+    batched cond degrades to select), so the all-shared budget taxes easy
+    replicas by the hardest one's slack."""
+    cpu = jax.devices("cpu")[0]
+    budgets = []
+    with jax.default_device(cpu):
+        for solve in solves:
+            stats = solve()
+            attempts = int(stats.n_accepted) + int(stats.n_rejected)
+            b = max(floor, int(headroom * attempts) + slack)
+            budgets.append(-(-b // quantum) * quantum)
+    return budgets
+
+
+def bucket_budgets(budgets, max_buckets: int) -> list:
+    """Group replica indices by budget into at most ``max_buckets`` groups.
+
+    Returns [(budget, np.ndarray indices)] sorted by budget ascending. When
+    there are more distinct budgets than buckets, the smallest groups merge
+    UPWARD into the next larger budget (a larger budget is always correct,
+    merely slower), keeping the boundary between the cheapest replicas and
+    the expensive tail."""
+    budgets = np.asarray(budgets)
+    uniq = sorted(set(int(b) for b in budgets))
+    while len(uniq) > max(1, max_buckets):
+        # merge the adjacent pair that adds the fewest wasted scan slots
+        # (promoting budget lo -> hi costs count[lo] * (hi - lo) frozen slots)
+        counts = {u: int((budgets == u).sum()) for u in uniq}
+        i = min(range(len(uniq) - 1),
+                key=lambda j: counts[uniq[j]] * (uniq[j + 1] - uniq[j]))
+        lo, hi = uniq[i], uniq[i + 1]
+        budgets = np.where(budgets == lo, hi, budgets)
+        uniq = sorted(set(int(b) for b in budgets))
+    return [(u, np.flatnonzero(budgets == u)) for u in uniq]

@@ -313,5 +313,49 @@ def test_batched_sweep_reports_exhausted_replicas(capsys):
         "--time_tick", "4", "--no_control", "--alpha", "0", "--dropout", "0",
         "--method", "dopri5", "--max_steps", "1", "--platform", "cpu"])
     out = capsys.readouterr().out
-    assert "[budget] replicas" in out and "exhausted the shared step budget" in out
+    assert "[budget] replicas" in out and "exhausted their step budget" in out
     assert not np.isfinite(summary["acc_mean"]) or summary["acc_mean"] < 0.2
+
+
+def test_bucket_budgets_merging():
+    """bucket_budgets groups replicas by quantized budget and merges the
+    cheapest-to-promote groups first (added frozen slots = count * delta)."""
+    from ndcn_tpu.train.budget import bucket_budgets
+
+    budgets = [8, 8, 8, 8, 16, 16, 24, 48]
+    bk = bucket_budgets(budgets, 8)  # no merging needed
+    assert [b for b, _ in bk] == [8, 16, 24, 48]
+    assert [len(ix) for _, ix in bk] == [4, 2, 1, 1]
+    # every replica lands in a bucket with budget >= its own
+    for b, ix in bk:
+        assert all(budgets[i] <= b for i in ix)
+
+    bk2 = bucket_budgets(budgets, 2)
+    assert len(bk2) == 2
+    covered = sorted(int(i) for _, ix in bk2 for i in ix)
+    assert covered == list(range(len(budgets)))
+    for b, ix in bk2:
+        assert all(budgets[i] <= b for i in ix)
+    # the expensive tail (48) must survive as its own upper bucket; merging
+    # it downward would under-budget, merging 8s upward costs the least
+    assert bk2[-1][0] == 48
+
+    # degenerate: one bucket = the max budget for everyone
+    bk1 = bucket_budgets(budgets, 1)
+    assert len(bk1) == 1 and bk1[0][0] == 48 and len(bk1[0][1]) == 8
+
+
+def test_batched_sweep_budget_buckets():
+    """--budget_buckets splits the vmapped sweep into per-budget programs;
+    every replica still reports a finite accuracy row (VERDICT r2 weak #4)."""
+    from ndcn_tpu.experiments import dgnn
+
+    summary = dgnn.main([
+        "--dataset", "cora", "--model", "differential_gcn", "--batch_iters",
+        "--budget_buckets", "2", "--iter", "3", "--epochs", "3",
+        "--hidden", "8", "--T", "1.2", "--time_tick", "4", "--no_control",
+        "--alpha", "0", "--dropout", "0", "--method", "dopri5",
+        "--platform", "cpu"])
+    assert len(summary["rows"]) == 3
+    assert np.isfinite(summary["acc_mean"])
+    assert all(np.isfinite(row[2]) for row in summary["rows"])
