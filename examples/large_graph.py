@@ -163,19 +163,22 @@ def main(argv=None):
         probe_nfe[0] = int(stats.nfe)
         return stats
 
-    # snug sizing: at 200k nodes every scan slot is a ~75 MB emission buffer
-    # (x several live copies through the backward), so the default 4x-headroom
-    # budget is the difference between fitting HBM and not
-    max_steps = probe_step_budget(probe, floor=8, headroom=2.5, slack=4,
+    # snug sizing, two reasons: at 200k nodes every scan slot is a ~75 MB
+    # emission buffer (x several live copies through the backward) AND a
+    # frozen slot still costs ~7 ms of step time (measured slope, 6->16
+    # slots: 524->593 ms vgrad). Exhaustion is recoverable — the loop below
+    # rolls back to the last finite snapshot and doubles the budget
+    # (train/elastic.py), so headroom stays at 1.5 instead of insurance-grade
+    max_steps = probe_step_budget(probe, floor=8, headroom=1.5, slack=2,
                                   quantum=4)
     print(f"step budget: {max_steps} (train solve nfe {probe_nfe[0]})",
           file=sys.stderr)
 
-    def objective_with(op_, x0_, target_):
+    def objective_with(op_, x0_, target_, ms):
         def objective(p, _rng):
             out, stats = ndcn_forward(p, op_, t_train, x0_, rtol=0.01,
                                       atol=0.001, method="dopri5",
-                                      max_steps=max_steps)
+                                      max_steps=ms)
             loss = l1_loss(out, target_)
             return (jnp.where(stats.success, loss, jnp.nan),
                     relative_l1(out, target_))
@@ -211,9 +214,11 @@ def main(argv=None):
         params = jax.tree_util.tree_map(lambda l: jax.device_put(l, rep),
                                         params)
         step_u = jax.jit(make_sgd_step(opt, objective_with(op_u, x0_u,
-                                                           target_u)))
+                                                           target_u,
+                                                           max_steps)))
         step_s = jax.jit(make_sgd_step(opt, objective_with(model_op, x0,
-                                                           target)))
+                                                           target,
+                                                           max_steps)))
         pk = jax.random.PRNGKey(2)
         _, _, l_u, r_u = step_u(params, opt.init(params), pk)
         _, _, l_s, r_s = step_s(params, opt.init(params), pk)
@@ -224,21 +229,54 @@ def main(argv=None):
         assert mesh_parity < 1e-4, "sharded step diverged from unsharded math"
 
     opt_state = opt.init(params)
-    step = jax.jit(make_sgd_step(opt, objective_with(model_op, x0, target)),
-                   donate_argnums=(0, 1))
+
+    def build_step(ms):
+        return jax.jit(make_sgd_step(opt, objective_with(model_op, x0,
+                                                         target, ms)),
+                       donate_argnums=(0, 1))
+
+    # rollback-and-regrow protection for the snug budget (train/elastic.py):
+    # snapshot at finite-loss boundaries; a NaN loss rolls back, doubles the
+    # budget, recompiles, and deterministically replays (same rng stream)
+    from ndcn_tpu.train.elastic import ElasticBudget
+    elastic = ElasticBudget(max_steps, enabled=True)
+    step = build_step(elastic.max_steps)
 
     key = jax.random.PRNGKey(1)
+    elastic.snapshot(0, key, (params, opt_state))
     c_t0 = time.time()
-    params, opt_state, loss, rel = step(params, opt_state, key)
-    jax.block_until_ready(loss)
+    while True:
+        params, opt_state, loss, rel = step(params, opt_state, key)
+        jax.block_until_ready(loss)
+        if elastic.exhausted(loss):
+            _, key, (params, opt_state) = elastic.rollback()
+            print(f"[elastic] first step exhausted the budget; regrown to "
+                  f"max_steps={elastic.max_steps}", file=sys.stderr)
+            step = build_step(elastic.max_steps)
+            continue
+        break
     print(f"train step compiled+first in {time.time() - c_t0:.1f}s; "
           f"initial rel loss {float(rel):.4f}", file=sys.stderr)
     rel0 = float(rel)
+    elastic.snapshot(0, key, (params, opt_state))
 
+    check_freq = 10
     t_run = time.time()
-    for _ in range(args.iters):
+    i = 0
+    while i < args.iters:
         key, k = jax.random.split(key)
         params, opt_state, loss, rel = step(params, opt_state, k)
+        i += 1
+        if i % check_freq == 0 or i == args.iters:
+            if elastic.exhausted(loss):       # blocks; one sync per 10 iters
+                prev = i
+                i, key, (params, opt_state) = elastic.rollback()
+                print(f"[elastic] budget exhausted by iter {prev}; rolled "
+                      f"back to iter {i} with max_steps={elastic.max_steps}",
+                      file=sys.stderr)
+                step = build_step(elastic.max_steps)
+                continue
+            elastic.snapshot(i, key, (params, opt_state))
     jax.block_until_ready(loss)
     dt = time.time() - t_run
     steps_per_s = args.iters / dt
@@ -257,7 +295,8 @@ def main(argv=None):
         "ground_truth_s": round(gt_s, 2),
         "rel_loss_initial": round(rel0, 4), "rel_loss_final": round(relf, 4),
         "device": str(jax.devices()[0]), "fmt": args.fmt,
-        "dynamics": args.dynamics,
+        "dynamics": args.dynamics, "max_steps": int(elastic.max_steps),
+        "elastic_rollbacks": int(elastic.total_rollbacks),
         "mesh_devices": len(jax.devices()) if args.mesh else 1,
         "mesh_parity": mesh_parity,
     }))
