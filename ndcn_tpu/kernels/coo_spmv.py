@@ -137,9 +137,17 @@ def _make_kernel(E: int, R: int):
 
         lr = lr_ref[:].reshape(1, E)
         # one-hot row selection lives only in VMEM; [r, e] = (local_row[e] == r)
-        onehot_t = (jax.lax.broadcasted_iota(jnp.int32, (R, E), 0) == lr
-                    ).astype(jnp.bfloat16)
-        contrib = g_ref[:, :] * vv_ref[:].reshape(1, E)
+        sel = jax.lax.broadcasted_iota(jnp.int32, (R, E), 0) == lr
+        if GATHER_BF16:
+            # fast mode folds vals INTO the selection matrix (one VPU select
+            # instead of onehot-build + contrib multiply); vals ride bf16,
+            # consistent with this mode's ~4e-3 1-split numerics
+            onehot_t = jnp.where(sel, vv_ref[:].reshape(1, E), 0.0
+                                 ).astype(jnp.bfloat16)
+            contrib = g_ref[:, :]
+        else:
+            onehot_t = sel.astype(jnp.bfloat16)
+            contrib = g_ref[:, :] * vv_ref[:].reshape(1, E)
         # explicit bf16 split-accumulation (see N_SPLITS): each pass multiplies
         # a bf16 slice of contrib against the EXACT bf16 one-hot, accumulating
         # in f32 — the Precision hint is ignored by Mosaic here, so the splits

@@ -86,11 +86,13 @@ def probe_step_budget(solve_nondiff: Callable[[], "object"],
     exhaustion mid-run just wastes the run. A caller that can RECOVER from
     exhaustion (the dynamics driver rolls back to its last good snapshot and
     regrows the budget) should pass snug values instead, e.g.
-    ``floor=8, headroom=2.5, slack=4, quantum=4`` (the values the drivers and
-    examples converged on — headroom below ~2 makes rollback a routine event
-    rather than rare insurance): frozen scan iterations cost
-    real time every step, so the snug budget is the single biggest
-    trainer-throughput lever (see module docstring).
+    ``floor=8, headroom=2.5, slack=4, quantum=4`` (the values the drivers
+    converged on — headroom below ~2 makes rollback a routine event rather
+    than rare insurance). With in-loop rollback-and-regrow wired in
+    (train/elastic.py, as examples/large_graph.py does) even
+    ``headroom=1.5, slack=2`` is safe: frozen scan iterations cost real time
+    every step, so the snug budget is the single biggest trainer-throughput
+    lever (see module docstring).
     """
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
