@@ -66,6 +66,24 @@ def main(argv=None):
                          "accumulation, ~2e-6 rel err) or bf16 (gather and "
                          "reduce in bf16, ~4e-3 — sound for SGD at rtol "
                          "0.01, ~1.5x faster train steps)")
+    ap.add_argument("--layout", type=str, default="auto",
+                    choices=["auto", "nd", "feature_major"],
+                    help="ODE-state layout for the solve. feature_major keeps "
+                         "the state (d_sub, n) so saved SpMV residuals and "
+                         "solver arithmetic dodge the (8, 128) lane-pad tax "
+                         "(6.4x at d=20) — REQUIRED above ~500k nodes, where "
+                         "the padded (n, d) residuals alone would exceed HBM")
+    ap.add_argument("--emission_precision", type=str, default="f32",
+                    choices=["f32", "bf16"],
+                    help="dtype of the training scan's dense-output emission "
+                         "buffers (the dominant residual at scale: ~3.8 GB "
+                         "per direction at 1M nodes in f32). bf16 halves "
+                         "them at ~4e-3 on interpolated observations")
+    ap.add_argument("--gt_cache", type=str, default=None,
+                    help="npz path to cache the ground-truth trajectory; "
+                         "loaded if present (caller owns key uniqueness — "
+                         "the file stores n/deg/dynamics/seed and mismatches "
+                         "are rejected). The 1M-node CPU solve takes ~15 min")
     ap.add_argument("--mesh", action="store_true",
                     help="row-shard the operator and node-major arrays over "
                          "all visible devices ('model' axis); prints a "
@@ -134,24 +152,53 @@ def main(argv=None):
     # TPU's (8, 128) tiling — every elementwise solver op then moves 100 MB
     # instead of 0.8 MB (measured 144 s for the solve on-TPU vs ~3 s on CPU).
     gt_t0 = time.time()
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        physics_cpu = to_cpu(physics_op)
-        rhs = make_rhs(args.dynamics, physics_cpu)
-        truth, gt_stats = odeint_with_stats(
-            rhs, jax.device_put(x0, cpu), jax.device_put(t_full, cpu),
-            rtol=1e-6, atol=1e-8, method="dopri5",
-            options={"differentiable": False})
-        truth = jax.block_until_ready(truth)
-    truth = jax.device_put(np.asarray(truth))
-    gt_s = time.time() - gt_t0
-    assert bool(gt_stats.success)
-    print(f"ground truth: {int(gt_stats.nfe)} RHS evals in {gt_s:.2f}s "
-          f"({int(gt_stats.nfe) * n / gt_s:,.0f} node-evals/s)", file=sys.stderr)
+    gt_key = dict(n=n, deg=args.deg, dynamics=args.dynamics, seed=args.seed,
+                  T=args.T, time_tick=args.time_tick)
+    cached = None
+    if args.gt_cache and os.path.exists(args.gt_cache):
+        blob = np.load(args.gt_cache)
+        if all(blob[k] == v for k, v in gt_key.items()):
+            cached = blob["truth"]
+            print(f"ground truth: loaded from {args.gt_cache}", file=sys.stderr)
+        else:
+            raise SystemExit(f"--gt_cache {args.gt_cache} was generated for "
+                             f"different run parameters; delete it or point "
+                             f"at a fresh path")
+    if cached is not None:
+        truth = jax.device_put(cached)
+        gt_s = 0.0
+    else:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            physics_cpu = to_cpu(physics_op)
+            rhs = make_rhs(args.dynamics, physics_cpu)
+            truth, gt_stats = odeint_with_stats(
+                rhs, jax.device_put(x0, cpu), jax.device_put(t_full, cpu),
+                rtol=1e-6, atol=1e-8, method="dopri5",
+                options={"differentiable": False})
+            truth = jax.block_until_ready(truth)
+        if args.gt_cache:
+            np.savez(args.gt_cache, truth=np.asarray(truth), **gt_key)
+        truth = jax.device_put(np.asarray(truth))
+        gt_s = time.time() - gt_t0
+        assert bool(gt_stats.success)
+        print(f"ground truth: {int(gt_stats.nfe)} RHS evals in {gt_s:.2f}s "
+              f"({int(gt_stats.nfe) * n / gt_s:,.0f} node-evals/s)",
+              file=sys.stderr)
     target = truth[jnp.asarray(splits.id_train)]
+    # free the full-trajectory device copy and the physics alias so the
+    # dropped triplets below are actually collectable
+    del truth, cached, physics_op
 
     params = init_ndcn(jax.random.PRNGKey(args.seed), 1, args.hidden, 1)
     cpu_probe = to_cpu((params, model_op, t_train, x0))
+
+    if model_op.tiles is not None and not args.mesh:
+        # the tiled TPU path never reads the plain COO triplets — drop them
+        # from the DEVICE operator so their ~480 MB (at 1M nodes) of HBM goes
+        # to the train step instead (the CPU probe copy above keeps its own)
+        model_op = model_op._replace(rows=None, cols=None, vals=None,
+                                     rows_t=None, cols_t=None, vals_t=None)
 
     probe_nfe = [0]
 
@@ -174,11 +221,14 @@ def main(argv=None):
     print(f"step budget: {max_steps} (train solve nfe {probe_nfe[0]})",
           file=sys.stderr)
 
+    emission_dtype = jnp.bfloat16 if args.emission_precision == "bf16" else None
+
     def objective_with(op_, x0_, target_, ms):
         def objective(p, _rng):
             out, stats = ndcn_forward(p, op_, t_train, x0_, rtol=0.01,
                                       atol=0.001, method="dopri5",
-                                      max_steps=ms)
+                                      max_steps=ms, layout=args.layout,
+                                      emission_dtype=emission_dtype)
             loss = l1_loss(out, target_)
             return (jnp.where(stats.success, loss, jnp.nan),
                     relative_l1(out, target_))
@@ -230,10 +280,35 @@ def main(argv=None):
 
     opt_state = opt.init(params)
 
+    # The FLOAT arrays (tile vals, x0, target) ride as jit ARGUMENTS, not
+    # closures: closed-over arrays embed in the compiled program as constants,
+    # and the axon tunnel's remote-compile endpoint caps the request at
+    # ~256 MB (measured; HTTP 413 beyond it) — at 1M nodes the closures total
+    # ~0.5 GB. The INT index arrays stay as concrete closure constants
+    # (~180 MB at 1M, under the cap): traced integers cannot cross the
+    # solver's gradient guard — jax.closure_convert hoists only inexact
+    # tracers, so an int tracer captured in a remat'd cond branch fails to
+    # lower ("No constant handler for DynamicJaxprTracer").
+    # RowShardedCoo (the --mesh path) has no tile packing — only the tiled
+    # single-device operator carries the big float leaves worth hoisting
+    has_tiles = getattr(model_op, "tiles", None) is not None
+
     def build_step(ms):
-        return jax.jit(make_sgd_step(opt, objective_with(model_op, x0,
-                                                         target, ms)),
-                       donate_argnums=(0, 1))
+        def step_fn(p, s, k, fl, x0_, target_):
+            tv, tvt = fl
+            op_ = model_op._replace(tiles=model_op.tiles._replace(vals=tv),
+                                    tiles_t=model_op.tiles_t._replace(
+                                        vals=tvt)) \
+                if has_tiles else model_op
+            return make_sgd_step(opt, objective_with(op_, x0_, target_,
+                                                     ms))(p, s, k)
+        wrapped = jax.jit(step_fn, donate_argnums=(0, 1))
+        fl = ((model_op.tiles.vals, model_op.tiles_t.vals)
+              if has_tiles else (None, None))
+
+        def step(p, s, k):
+            return wrapped(p, s, k, fl, x0, target)
+        return step
 
     # rollback-and-regrow protection for the snug budget (train/elastic.py):
     # snapshot at finite-loss boundaries; a NaN loss rolls back, doubles the

@@ -100,7 +100,8 @@ def ode_func(params: Dict[str, Any], op: GraphOperator, t, h,
 
 def ode_block(func, h0, vt, rtol: float, atol: float, method: str,
               terminal: bool = False, adjoint: bool = False,
-              params=None, max_steps: int = 256, nondiff: bool = False):
+              params=None, max_steps: int = 256, nondiff: bool = False,
+              emission_dtype=None, emission_readout=None):
     """odeint wrapper mirroring ODEBlock semantics; returns (out, stats).
 
     With ``adjoint=True`` gradients use the continuous adjoint (O(1) memory);
@@ -114,11 +115,15 @@ def ode_block(func, h0, vt, rtol: float, atol: float, method: str,
                              options={"max_steps": max_steps})
         stats = None
     else:
+        options = {"max_steps": max_steps, "differentiable": not nondiff}
+        if emission_dtype is not None and not nondiff:
+            options["emission_dtype"] = emission_dtype
+        if emission_readout is not None and not nondiff:
+            options["emission_readout"] = emission_readout
         sol, stats = odeint_with_stats(func if params is None
                                        else (lambda t, h: func(params, t, h)),
                                        h0, vt, rtol=rtol, atol=atol, method=method,
-                                       options={"max_steps": max_steps,
-                                                "differentiable": not nondiff})
+                                       options=options)
     return (jax.tree_util.tree_map(lambda b: b[-1], sol) if terminal else sol), stats
 
 
@@ -187,7 +192,8 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
                  no_control: bool = False, dropout: float = 0.0,
                  rng: Optional[jax.Array] = None, adjoint: bool = False,
                  max_steps: int = 256, nondiff: bool = False,
-                 fused: bool = False, layout: str = "auto"):
+                 fused: bool = False, layout: str = "auto",
+                 emission_dtype=None):
     """Full NDCN forward. Returns (output, stats).
 
     output: (T, n, num_classes) trajectory, or (n, num_classes) if terminal.
@@ -204,6 +210,11 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
     error-norm element count by d_sub/d (the zero pad rows contribute zero
     error), equivalent to scaling rtol by ~(d_sub/d)^(1/2) ≈ 1.05 at d=20 —
     fine for training tolerances, excluded from parity fixtures.
+
+    ``emission_dtype`` (scan path only): store the solver's dense-output
+    emission buffers — the dominant training residual at scale — in e.g.
+    bf16 (~4e-3 on interpolated observations; solver steps unaffected). See
+    ode.adaptive.solve_scan.
     """
     h = x
     if not no_embed:
@@ -237,14 +248,35 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
         def func(p, t, hh):
             return ode_func_T(p, op, t, hh)
 
-        hvx_T, stats = ode_block(func, hT, vt, rtol, atol, method,
+        # Decode IN feature-major form, then transpose the small (T, c, n)
+        # result: transposing the trajectory first would materialize a
+        # (T, n, d) buffer (plus its backward mirror) that at 1M nodes is
+        # 2.6 GB each — the node dim stays minor through the readout. On the
+        # differentiable path the LINEAR part of the decoder goes further and
+        # rides as the solver's emission_readout (exact — linearity commutes
+        # with dense-output interpolation), so even the (T, d_sub, n) hidden
+        # trajectory and its backward mirror (2×3.1 GB at 1M nodes) never
+        # materialize; the bias joins after.
+        w = params["dec"]["w"]                           # (d, c)
+        # only the adaptive scan path implements emission_readout; fixed-grid
+        # and vcabm methods ignore the option and return the full trajectory
+        use_readout = (not terminal) and (not nondiff) and (not adjoint) \
+            and method in ("dopri5", "tsit5")
+        readout = ((lambda s: jnp.einsum("dc,dn->cn", w, s[:d]))
+                   if use_readout else None)
+        sol_T, stats = ode_block(func, hT, vt, rtol, atol, method,
                                  terminal=terminal, adjoint=adjoint,
                                  params=ode_params, max_steps=max_steps,
-                                 nondiff=nondiff)
+                                 nondiff=nondiff, emission_dtype=emission_dtype,
+                                 emission_readout=readout)
         if terminal:
-            hvx = hvx_T[:d].T                            # (n, d)
+            hvx = sol_T[:d].T                            # (n, d)
         else:
-            hvx = jnp.transpose(hvx_T[:, :d, :], (0, 2, 1))  # (T, n, d)
+            out_T = (sol_T if use_readout
+                     else jnp.einsum("dc,tdn->tcn", w, sol_T[:, :d, :]))
+            if "b" in params["dec"]:
+                out_T = out_T + params["dec"]["b"][:, None]
+            return jnp.transpose(out_T, (0, 2, 1)), stats   # (T, n, c)
     else:
         def func(p, t, hh):
             return ode_func(p, op, t, hh, no_graph=no_graph,
@@ -254,6 +286,6 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
         hvx, stats = ode_block(func, h, vt, rtol, atol, method,
                                terminal=terminal, adjoint=adjoint,
                                params=ode_params, max_steps=max_steps,
-                               nondiff=nondiff)
+                               nondiff=nondiff, emission_dtype=emission_dtype)
     out = nn.linear_apply(params["dec"], hvx)
     return out, stats

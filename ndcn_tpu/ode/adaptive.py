@@ -171,7 +171,15 @@ def solve_while(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
     T = t.shape[0]
     tdtype = t.dtype
     rk0, nfe0 = _init_rk_state(method, func, y0, t[0], ctrl, first_step, tdtype)
-    sol0 = tree_map(lambda y: jnp.zeros((T,) + y.shape, y.dtype).at[0].set(y), y0)
+    # The solution buffer is FLATTENED per leaf: (T, numel), not (T, *shape).
+    # It rides the while carry through a lax.cond join that copies it every
+    # iteration, and a small minor dim in the 128-lane position pads the
+    # buffer 128/d x under the TPU's (8, 128) tiling — at 200k nodes x d=20
+    # the padded (T, n, d) buffer copies cost ~330 ms per solve (measured:
+    # flattening cut the while-path inference solve 581 -> ~290 ms), the
+    # same layout lesson as the scan path's emissions.
+    sol0 = tree_map(
+        lambda y: jnp.zeros((T, y.size), y.dtype).at[0].set(y.reshape(-1)), y0)
     n_evals = _n_new_evals(method.tableau)
 
     carry0 = dict(rk=rk0, sol=sol0, obs_i=jnp.asarray(1, jnp.int32), nfe=nfe0,
@@ -186,7 +194,8 @@ def solve_while(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
         rk = c["rk"]
         t_obs = t[c["obs_i"]]
         y_obs = method.interp_eval(rk["interp"], rk["t0"], rk["t1"], t_obs)
-        sol = tree_map(lambda buf, v: buf.at[c["obs_i"]].set(v), c["sol"], y_obs)
+        sol = tree_map(lambda buf, v: buf.at[c["obs_i"]].set(v.reshape(-1)),
+                       c["sol"], y_obs)
         return dict(c, sol=sol, obs_i=c["obs_i"] + 1)
 
     def take_step(c):
@@ -211,7 +220,8 @@ def solve_while(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
     stats = SolveStats(nfe=final["nfe"], n_accepted=final["nacc"],
                        n_rejected=final["nrej"],
                        success=final["ok"] & (final["obs_i"] >= T))
-    return final["sol"], stats
+    sol = tree_map(lambda buf, y: buf.reshape((T,) + y.shape), final["sol"], y0)
+    return sol, stats
 
 
 # ------------------------------------------------------------------------ scan path
@@ -230,8 +240,8 @@ def _make_guarded_attempt(method: AdaptiveMethod, func, ctrl: Controller,
     def attempt(rk):
         base, interp_att, tts, accept, finite = _attempt_step_core(
             method, func, rk, ctrl, tdtype)
-        stacked_flat = tree_map(lambda l: l.reshape(-1),
-                                method.interp_stack(interp_att))
+        stacked_flat = tree_map(lambda l, z: l.reshape(-1).astype(z.dtype),
+                                method.interp_stack(interp_att), interp_zero)
         interp_out = tree_where(accept, stacked_flat, interp_zero)
         return (base, interp_out, tts, accept.astype(tdtype),
                 finite.astype(tdtype))
@@ -251,8 +261,20 @@ def _make_guarded_attempt(method: AdaptiveMethod, func, ctrl: Controller,
 
 
 def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
-               max_steps: int = 256, first_step: Optional[float] = None):
+               max_steps: int = 256, first_step: Optional[float] = None,
+               emission_dtype=None, emission_readout=None):
     """Reverse-differentiable bounded solve. Returns (solution, SolveStats).
+
+    ``emission_readout``: optional LINEAR map from a state pytree to a (much
+    smaller) observable, applied to the emitted dense-output coefficients
+    before the observation matmul. Because both the interpolation and the
+    readout are linear in the state, readout(interp(c)) == interp(readout(c))
+    EXACTLY — so the full solution trajectory (T × state, e.g. the 2.4 GB
+    hidden trajectory of a 1M-node NDCN solve, plus its backward mirror) is
+    never materialized; the returned "solution" is the readout trajectory
+    (T, *readout_shape). Affine offsets must be added by the caller (a bias
+    does not commute with interpolation). Ignored by the while path (no
+    emissions there — apply the readout to its output instead).
 
     Runs exactly ``max_steps`` step attempts; iterations after the final time is
     reached are skipped via lax.cond (no RHS evals, frozen carry). Gradient
@@ -281,7 +303,16 @@ def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
     # pads it by ~nothing — emitting (S, C, n, d) with a small d in the
     # 128-lane minor position padded the buffer 6.4x at d=20 (11.4 GB instead
     # of 1.8 GB for a 200k-node solve: the exact shape the OOM dump showed).
+    # ``emission_dtype`` (e.g. bf16) stores the emitted dense-output
+    # coefficients — and their backward-pass cotangents — at half width: the
+    # emission buffers are the scan's dominant residual at scale (S × C × n·d
+    # each way; 3.8 GB per direction for a 1M-node solve), while the
+    # observation readout accumulates in f32 below. ~4e-3 relative on
+    # interpolated observations; solver STEPS are unaffected (the carry stays
+    # full precision), so use it where the loss tolerates bf16 reads.
     interp_tmpl = method.interp_stack(tree_map(jnp.zeros_like, interp0))
+    if emission_dtype is not None:
+        interp_tmpl = tree_map(lambda l: l.astype(emission_dtype), interp_tmpl)
     interp_zero = tree_map(lambda l: l.reshape(-1), interp_tmpl)
     guarded = _make_guarded_attempt(method, func, ctrl, tdtype, interp_zero)
 
@@ -346,13 +377,39 @@ def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
 
     def eval_leaf(buf, tmpl):  # buf (S, C·numel) flat; tmpl (C, *shape)
         flat = buf.reshape(buf.shape[0] * tmpl.shape[0], -1)
+        # accumulate at least in f32 even for bf16 emissions (weights ride in
+        # the buffer dtype — casting the huge buffer UP would materialize the
+        # f32 copy the emission_dtype option exists to avoid)
         out = jnp.matmul(w_full.astype(buf.dtype), flat,
                          precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=buf.dtype)
+                         preferred_element_type=jnp.promote_types(
+                             buf.dtype, jnp.float32))
         return out.reshape((w_full.shape[0],) + tmpl.shape[1:])
 
-    ys_obs = tree_map(eval_leaf, steps["interp"], interp_tmpl)
-    sol = tree_map(lambda y, ys: jnp.concatenate([y[None], ys], axis=0), y0, ys_obs)
+    if emission_readout is not None:
+        # contract the readout through the (S·C, *state) coefficients FIRST —
+        # the observation matmul then produces (O, *readout) directly and the
+        # (O, *state) trajectory never exists
+        coeffs = tree_map(
+            lambda buf, tmpl: buf.reshape((buf.shape[0] * tmpl.shape[0],)
+                                          + tmpl.shape[1:]),
+            steps["interp"], interp_tmpl)
+        red = jax.vmap(emission_readout)(coeffs)        # (S·C, *readout)
+
+        def eval_red_leaf(l):
+            out = jnp.matmul(w_full.astype(l.dtype), l.reshape(l.shape[0], -1),
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.promote_types(
+                                 l.dtype, jnp.float32))
+            return out.reshape((w_full.shape[0],) + l.shape[1:])
+
+        ys_obs = tree_map(eval_red_leaf, red)
+        y0_out = emission_readout(y0)
+    else:
+        ys_obs = tree_map(eval_leaf, steps["interp"], interp_tmpl)
+        y0_out = y0
+    sol = tree_map(lambda y, ys: jnp.concatenate([y[None], ys.astype(y.dtype)],
+                                                 axis=0), y0_out, ys_obs)
 
     stats = SolveStats(nfe=final["nfe"], n_accepted=final["nacc"],
                        n_rejected=final["nrej"],

@@ -17,6 +17,13 @@ Extra TPU-native options (all static):
 - ``max_steps``: step-attempt budget (scan length for the differentiable path).
 - ``first_step``: honoured as given. (Deliberate fix of a reference quirk: there a
   caller-provided first_step is ignored and 0.01 used instead, dopri5.py:81-82.)
+- ``emission_dtype`` (adaptive, scan path): store dense-output emission buffers
+  (and their cotangents) in e.g. bf16 — the dominant training residual at
+  scale; solver steps are unaffected (full-precision carry).
+- ``emission_readout`` (adaptive, scan path): a LINEAR state→observable map
+  contracted through the emitted coefficients, so the returned "solution" is
+  the (much smaller) readout trajectory and the full state trajectory never
+  materializes. Exact: linearity commutes with dense-output interpolation.
 
 ``odeint_with_stats`` additionally returns SolveStats (NFE / accepted / rejected /
 success) — first-class NFE accounting, carried in the solver state.
@@ -49,9 +56,10 @@ _DEFAULT_MAX_STEPS_WHILE = 1 << 16
 _COMMON_OPTIONS = {"differentiable", "max_steps"}
 _METHOD_OPTIONS = {
     "dopri5": _COMMON_OPTIONS | {"safety", "ifactor", "dfactor", "first_step",
-                                 "time_dtype"},
+                                 "time_dtype", "emission_dtype", "emission_readout"},
     "tsit5": _COMMON_OPTIONS | {"safety", "ifactor", "dfactor", "first_step",
-                                "time_dtype", "reference_weights"},
+                                "time_dtype", "reference_weights",
+                                "emission_dtype", "emission_readout"},
     # fixed-grid/fixed-order methods accept (and ignore) the common options so
     # method-agnostic callers like ode_block can pass one options dict
     "euler": _COMMON_OPTIONS | {"step_size"},
@@ -143,8 +151,11 @@ def odeint_with_stats(func: Callable, y0, t, rtol: float = 1e-7, atol: float = 1
             m = adaptive.TSIT5_REFERENCE_METHOD
         if differentiable:
             max_steps = int(options.get("max_steps", _DEFAULT_MAX_STEPS_SCAN))
-            return adaptive.solve_scan(m, func, y0, t, ctrl,
-                                       max_steps=max_steps, first_step=first_step)
+            return adaptive.solve_scan(
+                m, func, y0, t, ctrl, max_steps=max_steps,
+                first_step=first_step,
+                emission_dtype=options.get("emission_dtype"),
+                emission_readout=options.get("emission_readout"))
         max_steps = int(options.get("max_steps", _DEFAULT_MAX_STEPS_WHILE))
         return adaptive.solve_while(m, func, y0, t, ctrl,
                                     max_steps=max_steps, first_step=first_step)

@@ -322,16 +322,25 @@ def solve_vcabm(func, y0, t, rtol: float, atol: float, max_order: int = _MAX_ORD
                                                       safety=safety,
                                                       ifactor=ifactor,
                                                       dfactor=dfactor)
-    carry0 = dict(carry0, sol=sol0)
+    # The carried solution buffer is FLATTENED per leaf ((T, numel)) so the
+    # while carry never holds a small minor dim in the 128-lane position —
+    # the (8, 128) tiling pads such buffers 128/d x and the loop pays the
+    # padded copy every iteration (measured on the dopri5 twin: ~330 ms per
+    # 200k-node solve; see adaptive.solve_while).
+    carry0 = dict(carry0, sol=tree_map(
+        lambda y: jnp.zeros((T, y.size), y.dtype).at[0].set(y.reshape(-1)),
+        y0))
 
     def cond(c):
         return (c["obs_i"] < T) & ((c["nacc"] + c["nrej"]) < max_steps) & c["ok"]
 
     def body(c):
         c_new, emit, _ = attempt({k: v for k, v in c.items() if k != "sol"})
+        # un-reached attempts write at index T, which mode="drop" discards —
+        # one indexed write, never a full-buffer select
+        idx = jnp.where(emit["reached"], emit["obs_i"], T)
         sol = tree_map(
-            lambda buf, v: jnp.where(emit["reached"],
-                                     buf.at[emit["obs_i"]].set(v), buf),
+            lambda buf, v: buf.at[idx].set(v.reshape(-1), mode="drop"),
             c["sol"], emit["y_obs"])
         return dict(c_new, sol=sol)
 
@@ -339,7 +348,8 @@ def solve_vcabm(func, y0, t, rtol: float, atol: float, max_order: int = _MAX_ORD
     stats = SolveStats(nfe=final["nfe"], n_accepted=final["nacc"],
                        n_rejected=final["nrej"],
                        success=final["ok"] & (final["obs_i"] >= T))
-    return final["sol"], stats
+    sol = tree_map(lambda buf, y: buf.reshape((T,) + y.shape), final["sol"], y0)
+    return sol, stats
 
 
 def solve_vcabm_scan(func, y0, t, rtol: float, atol: float,

@@ -348,3 +348,78 @@ def test_vcabm_gradients_survive_rejected_overflow(monkeypatch):
     assert np.all(np.isfinite(np.asarray(sol)))
     g = jax.grad(loss)(1.0)
     assert np.isfinite(float(g)), "VCABM gradient poisoned by rejected step"
+
+
+def test_emission_dtype_bf16_close_and_differentiable():
+    """emission_dtype=bf16 stores the scan path's dense-output buffers (and
+    their cotangents) at half width for HBM headroom at scale; observation
+    values must stay within bf16 resolution of the f32 run and the solve must
+    remain differentiable. Solver STEPS are unaffected (full-precision carry):
+    accepted/rejected counts must match the f32 run exactly."""
+    t = jnp.linspace(0.0, 2.0, 17)
+    y0 = jnp.ones((5, 3))
+
+    def solve(dtype):
+        return odeint_with_stats(exp_decay, y0, t, rtol=1e-6, atol=1e-8,
+                                 method="dopri5",
+                                 options={"max_steps": 64,
+                                          "emission_dtype": dtype})
+
+    ref, sref = solve(None)
+    out, s = solve(jnp.bfloat16)
+    assert out.dtype == ref.dtype == jnp.float32
+    assert int(s.n_accepted) == int(sref.n_accepted)
+    assert int(s.n_rejected) == int(sref.n_rejected)
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 1e-2, rel
+    assert float(jnp.max(jnp.abs(out - ref))) > 0.0  # bf16 genuinely applied
+
+    def loss(scale):
+        out, stats = odeint_with_stats(
+            lambda tt, y: -scale * y, y0, t, rtol=1e-6, atol=1e-8,
+            method="dopri5", options={"max_steps": 64,
+                                      "emission_dtype": jnp.bfloat16})
+        return jnp.sum(out)
+
+    g = jax.grad(loss)(jnp.asarray(1.0))
+    g_ref = jax.grad(lambda s: jnp.sum(odeint(
+        lambda tt, y: -s * y, y0, t, rtol=1e-6, atol=1e-8,
+        method="dopri5", options={"max_steps": 64})))(jnp.asarray(1.0))
+    assert np.isfinite(float(g))
+    assert abs(float(g) - float(g_ref)) / abs(float(g_ref)) < 2e-2
+
+
+def test_emission_readout_exact_and_differentiable():
+    """A LINEAR emission_readout commutes with dense-output interpolation, so
+    readout-during-solve must equal readout-after-solve to float tolerance
+    (it is the same contraction reordered), and gradients must match. This is
+    the memory path that keeps 1M-node trajectories from materializing."""
+    t = jnp.linspace(0.0, 1.5, 11)
+    y0 = jnp.asarray(np.random.RandomState(0).rand(6, 4).astype(np.float32))
+    R = jnp.asarray(np.random.RandomState(1).randn(4, 2).astype(np.float32))
+
+    def rhs(tt, y):
+        return -0.7 * y + 0.1 * jnp.roll(y, 1, axis=0)
+
+    opts = {"max_steps": 64}
+    full = odeint(rhs, y0, t, rtol=1e-5, atol=1e-7, method="dopri5",
+                  options=opts)
+    ref = full @ R                                        # (T, 6, 2)
+    out = odeint(rhs, y0, t, rtol=1e-5, atol=1e-7, method="dopri5",
+                 options=dict(opts, emission_readout=lambda y: y @ R))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=1e-6)
+
+    def loss(scale, use_readout):
+        o = dict(opts)
+        if use_readout:
+            o["emission_readout"] = lambda y: y @ R
+        sol = odeint(lambda tt, y: scale * rhs(tt, y), y0, t, rtol=1e-5,
+                     atol=1e-7, method="dopri5", options=o)
+        if not use_readout:
+            sol = sol @ R
+        return jnp.sum(sol ** 2)
+
+    g_ref = jax.grad(loss)(jnp.asarray(1.3), False)
+    g_ro = jax.grad(loss)(jnp.asarray(1.3), True)
+    np.testing.assert_allclose(float(g_ro), float(g_ref), rtol=1e-4)
