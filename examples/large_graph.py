@@ -79,6 +79,13 @@ def main(argv=None):
                          "buffers (the dominant residual at scale: ~3.8 GB "
                          "per direction at 1M nodes in f32). bf16 halves "
                          "them at ~4e-3 on interpolated observations")
+    ap.add_argument("--residual_precision", type=str, default="f32",
+                    choices=["f32", "bf16"],
+                    help="dtype of the remat-SAVED SpMV outputs (the largest "
+                         "per-step residuals: nfe x n*d per solve, 4.6 GB at "
+                         "1M nodes in f32). bf16 halves them; it rounds the "
+                         "integrated RHS (~4e-3, fwd/bwd consistent) — sound "
+                         "for SGD at rtol 0.01")
     ap.add_argument("--gt_cache", type=str, default=None,
                     help="npz path to cache the ground-truth trajectory; "
                          "loaded if present (caller owns key uniqueness — "
@@ -222,13 +229,15 @@ def main(argv=None):
           file=sys.stderr)
 
     emission_dtype = jnp.bfloat16 if args.emission_precision == "bf16" else None
+    residual_dtype = jnp.bfloat16 if args.residual_precision == "bf16" else None
 
     def objective_with(op_, x0_, target_, ms):
         def objective(p, _rng):
             out, stats = ndcn_forward(p, op_, t_train, x0_, rtol=0.01,
                                       atol=0.001, method="dopri5",
                                       max_steps=ms, layout=args.layout,
-                                      emission_dtype=emission_dtype)
+                                      emission_dtype=emission_dtype,
+                                      residual_dtype=residual_dtype)
             loss = l1_loss(out, target_)
             return (jnp.where(stats.success, loss, jnp.nan),
                     relative_l1(out, target_))

@@ -43,7 +43,7 @@ def fused_profitable(kind: str, width: int) -> bool:
 def ode_func(params: Dict[str, Any], op: GraphOperator, t, h,
              no_graph: bool = False, no_control: bool = False,
              drop_mask: Optional[jnp.ndarray] = None,
-             fused=False) -> jnp.ndarray:
+             fused=False, residual_dtype=None) -> jnp.ndarray:
     """The learned RHS. ``drop_mask`` is a fixed inverted-dropout mask (see
     models/nn.dropout_mask for why it is not resampled per eval).
 
@@ -87,10 +87,18 @@ def ode_func(params: Dict[str, Any], op: GraphOperator, t, h,
     if not no_graph:
         # checkpoint_name: under the training scan's remat policy
         # (ode/adaptive.solve_scan), the SpMV output is SAVED for the
-        # backward instead of re-running the forward kernel per step
+        # backward instead of re-running the forward kernel per step.
+        # residual_dtype=bf16 halves those saved residuals — the largest
+        # remat-saved tensors at scale (nfe × n·d per solve; 4.6 GB at 1M
+        # nodes in f32): the forward consumes the ROUNDED value, so fwd and
+        # bwd see identical numbers and gradients stay consistent (~4e-3
+        # RHS noise, same order as --kernel_precision bf16).
         from jax.ad_checkpoint import checkpoint_name
 
-        h = checkpoint_name(matvec(op, h), "ndcn_spmv")
+        h = checkpoint_name(matvec(op, h)
+                            if residual_dtype is None
+                            else matvec(op, h).astype(residual_dtype),
+                            "ndcn_spmv").astype(h.dtype)
     if not no_control:
         h = nn.linear_apply(params["wt"], h)
     if drop_mask is not None:
@@ -164,7 +172,8 @@ def _feature_major_ok(op, h, no_graph, no_control, dropout, fused) -> bool:
             and use_tiled_kernel())
 
 
-def ode_func_T(params: Dict[str, Any], op, t, hT) -> jnp.ndarray:
+def ode_func_T(params: Dict[str, Any], op, t, hT,
+               residual_dtype=None) -> jnp.ndarray:
     """The learned RHS in FEATURE-MAJOR form: hT (d_sub, n), rows >= d zero.
 
     relu((A h) W + b) transposes to relu(Wᵀ (A h)ᵀ + b[:, None]); the SpMV
@@ -178,7 +187,12 @@ def ode_func_T(params: Dict[str, Any], op, t, hT) -> jnp.ndarray:
     d_sub = hT.shape[0]
     w = params["wt"]["w"]
     d = w.shape[0]
-    ahT = checkpoint_name(spmv_T(op.tiles, op.tiles_t, hT), "ndcn_spmv")
+    ahT = spmv_T(op.tiles, op.tiles_t, hT)
+    # bf16 residual save: see ode_func — the saved tensor is the rounded one,
+    # so fwd and bwd consume identical values
+    ahT = checkpoint_name(ahT if residual_dtype is None
+                          else ahT.astype(residual_dtype),
+                          "ndcn_spmv").astype(hT.dtype)
     wT_p = jnp.zeros((d_sub, d_sub), w.dtype).at[:d, :d].set(w.T)
     b_p = jnp.zeros((d_sub, 1), w.dtype).at[:d, 0].set(params["wt"]["b"])
     return jax.nn.relu(
@@ -193,7 +207,7 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
                  rng: Optional[jax.Array] = None, adjoint: bool = False,
                  max_steps: int = 256, nondiff: bool = False,
                  fused: bool = False, layout: str = "auto",
-                 emission_dtype=None):
+                 emission_dtype=None, residual_dtype=None):
     """Full NDCN forward. Returns (output, stats).
 
     output: (T, n, num_classes) trajectory, or (n, num_classes) if terminal.
@@ -215,6 +229,12 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
     emission buffers — the dominant training residual at scale — in e.g.
     bf16 (~4e-3 on interpolated observations; solver steps unaffected). See
     ode.adaptive.solve_scan.
+
+    ``residual_dtype``: store the remat-SAVED SpMV outputs (the largest
+    per-step residuals of the training scan: nfe × n·d per solve) in e.g.
+    bf16. Unlike emission_dtype this rounds the RHS the solver integrates
+    (fwd and bwd consume the same rounded value), ~4e-3 — pair it with
+    training tolerances, not parity runs.
     """
     h = x
     if not no_embed:
@@ -246,7 +266,7 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
         hT = jnp.pad(h, ((0, 0), (0, d_sub - d))).T      # (d_sub, n)
 
         def func(p, t, hh):
-            return ode_func_T(p, op, t, hh)
+            return ode_func_T(p, op, t, hh, residual_dtype=residual_dtype)
 
         # Decode IN feature-major form, then transpose the small (T, c, n)
         # result: transposing the trajectory first would materialize a
@@ -281,7 +301,7 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
         def func(p, t, hh):
             return ode_func(p, op, t, hh, no_graph=no_graph,
                             no_control=no_control, drop_mask=drop_mask,
-                            fused=fused)
+                            fused=fused, residual_dtype=residual_dtype)
 
         hvx, stats = ode_block(func, h, vt, rtol, atol, method,
                                terminal=terminal, adjoint=adjoint,

@@ -100,6 +100,37 @@ def test_ndcn_forward_and_train_step():
     assert sum(norms) > 0
 
 
+def test_ndcn_residual_dtype_bf16_close_and_differentiable():
+    """residual_dtype=bf16 halves the remat-saved SpMV outputs (the largest
+    per-step residuals at scale). It rounds the integrated RHS, so outputs
+    drift at bf16 order (~4e-3) from the f32 run — but fwd and bwd consume
+    the same rounded value, so gradients must stay finite and close."""
+    a, rng = _setup()
+    op = from_dense(operators.normalized_laplacian(a))
+    x0 = jnp.asarray(rng.rand(25, 1), jnp.float32)
+    vt = jnp.asarray(np.linspace(0, 1, 12), jnp.float32)
+    params = init_ndcn(jax.random.PRNGKey(0), 1, 10, 1)
+    target = jnp.zeros((12, 25, 1))
+
+    def loss_fn(p, rd):
+        o, s = ndcn_forward(p, op, vt, x0, rtol=0.01, atol=0.001,
+                            method="dopri5", residual_dtype=rd)
+        return jnp.where(s.success, jnp.mean(jnp.abs(o - target)), jnp.nan)
+
+    l_ref, g_ref = jax.value_and_grad(loss_fn)(params, None)
+    l_bf, g_bf = jax.value_and_grad(loss_fn)(params, jnp.bfloat16)
+    assert np.isfinite(float(l_bf))
+    rel = abs(float(l_bf) - float(l_ref)) / abs(float(l_ref))
+    assert rel < 2e-2, rel
+    assert float(l_bf) != float(l_ref)  # bf16 genuinely applied
+    ref_leaves = jax.tree_util.tree_leaves(g_ref)
+    bf_leaves = jax.tree_util.tree_leaves(g_bf)
+    for gr, gb in zip(ref_leaves, bf_leaves):
+        assert np.all(np.isfinite(np.asarray(gb)))
+        denom = float(jnp.abs(gr).sum()) + 1e-12
+        assert float(jnp.abs(gb - gr).sum()) / denom < 5e-2
+
+
 @pytest.mark.parametrize("flags", [
     dict(no_embed=True), dict(no_graph=True), dict(no_control=True)])
 def test_ndcn_ablations(flags):
