@@ -54,6 +54,16 @@ def build_parser(name: str) -> argparse.ArgumentParser:
                    help="tiled-COO Pallas kernel numerics (engages above "
                         "50k edges on TPU): split2 ~2e-6 rel err, bf16 ~4e-3 "
                         "and ~1.2x faster train steps")
+    p.add_argument("--emission_precision", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="dtype of the training scan's dense-output emission "
+                        "buffers (the dominant residual at large n; ~4e-3 on "
+                        "interpolated observations, solver steps unaffected)")
+    p.add_argument("--residual_precision", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="dtype of the remat-saved SpMV outputs (largest "
+                        "per-step residuals at large n; rounds the integrated "
+                        "RHS ~4e-3, fwd/bwd consistent)")
     p.add_argument("--network", type=str, default="grid",
                    choices=["grid", "random", "power_law", "small_world", "community"])
     p.add_argument("--layout", type=str, default="community",
@@ -264,6 +274,13 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
         params = init_temporal_gcn(key, 1, hidden_size_gnn, n, hidden_size_rnn,
                                    rnn_type)
 
+    emission_dtype = (jnp.bfloat16
+                      if getattr(args, "emission_precision", "f32") == "bf16"
+                      else None)
+    residual_dtype = (jnp.bfloat16
+                      if getattr(args, "residual_precision", "f32") == "bf16"
+                      else None)
+
     def make_forward(ms):
         if continuous:
             def forward(p, vt, y0, rng=None):
@@ -271,7 +288,9 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
                     p, op, vt, y0, rtol=args.rtol, atol=args.atol,
                     method=args.method, dropout=args.dropout, rng=rng,
                     adjoint=args.adjoint, max_steps=ms,
-                    fused="auto" if args.fused_kernel else False, **flags)
+                    fused="auto" if args.fused_kernel else False,
+                    emission_dtype=emission_dtype,
+                    residual_dtype=residual_dtype, **flags)
                 return jnp.squeeze(out, -1).T, stats    # (n, T)
 
             def train_loss(p, rng):

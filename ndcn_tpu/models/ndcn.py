@@ -124,9 +124,14 @@ def ode_block(func, h0, vt, rtol: float, atol: float, method: str,
         stats = None
     else:
         options = {"max_steps": max_steps, "differentiable": not nondiff}
-        if emission_dtype is not None and not nondiff:
+        # the emission options exist only on the adaptive scan path — the
+        # option validator rejects them for fixed-grid/vcabm methods, so a
+        # caller passing them with e.g. method='euler' (the reference's
+        # dynamics default) gets a silent no-op, not a ValueError
+        adaptive_scan = method in ("dopri5", "tsit5") and not nondiff
+        if emission_dtype is not None and adaptive_scan:
             options["emission_dtype"] = emission_dtype
-        if emission_readout is not None and not nondiff:
+        if emission_readout is not None and adaptive_scan:
             options["emission_readout"] = emission_readout
         sol, stats = odeint_with_stats(func if params is None
                                        else (lambda t, h: func(params, t, h)),
