@@ -200,10 +200,13 @@ def main(argv=None):
     params = init_ndcn(jax.random.PRNGKey(args.seed), 1, args.hidden, 1)
     cpu_probe = to_cpu((params, model_op, t_train, x0))
 
-    if model_op.tiles is not None and not args.mesh:
+    from ndcn_tpu.graph.sparse import use_tiled_kernel
+    if model_op.tiles is not None and not args.mesh and use_tiled_kernel():
         # the tiled TPU path never reads the plain COO triplets — drop them
         # from the DEVICE operator so their ~480 MB (at 1M nodes) of HBM goes
-        # to the train step instead (the CPU probe copy above keeps its own)
+        # to the train step instead (the CPU probe copy above keeps its own).
+        # Guarded on use_tiled_kernel(): on CPU matvec falls through to the
+        # triplet segment-sum path, which still needs them
         model_op = model_op._replace(rows=None, cols=None, vals=None,
                                      rows_t=None, cols_t=None, vals_t=None)
 

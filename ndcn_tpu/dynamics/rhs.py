@@ -99,8 +99,10 @@ def _use_tiles(op: CooGraph) -> bool:
 
 
 def _feature_major(x: jnp.ndarray):
+    from ndcn_tpu.kernels.coo_spmv import sublane_pad
+
     d = x.shape[1]
-    d_sub = max(8, -(-d // 8) * 8)
+    d_sub = sublane_pad(d)
     return jnp.pad(x.astype(jnp.float32), ((0, 0), (0, d_sub - d))).T
 
 
@@ -188,17 +190,9 @@ def _coo_mutual_bwd(d, e, h, res, g):
             xi_t * (d + e * xi_t), Dt * Dt)
         dx = dx + jax.ops.segment_sum(term_j, op.rows_t, num_segments=op.n,
                                       indices_are_sorted=True)
-    from ndcn_tpu.graph.sparse import _nan_cotangent
+    from ndcn_tpu.graph.sparse import poison_coo_cotangent
 
-    poison = lambda t: (None if t is None
-                        else jax.tree_util.tree_map(_nan_cotangent, t))
-    dop = CooGraph(rows=_nan_cotangent(op.rows), cols=_nan_cotangent(op.cols),
-                   vals=_nan_cotangent(op.vals),
-                   rows_t=_nan_cotangent(op.rows_t),
-                   cols_t=_nan_cotangent(op.cols_t),
-                   vals_t=_nan_cotangent(op.vals_t),
-                   tiles=poison(op.tiles), tiles_t=poison(op.tiles_t), n=op.n)
-    return dop, dx
+    return poison_coo_cotangent(op), dx
 
 
 _coo_mutual_inter.defvjp(_coo_mutual_fwd, _coo_mutual_bwd)

@@ -356,12 +356,26 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                 and jax.default_backend() != "cpu"):
             from ndcn_tpu.train.budget import (accelerator_memory_limit,
                                                scan_train_bytes)
-            per_replica = scan_train_bytes(
-                args.method, max_steps,
-                jax.ShapeDtypeStruct((n, args.hidden), jnp.float32),
-                n_obs=args.time_tick)
-            data_size = int(mesh.shape["data"]) if mesh is not None else 1
-            est = r * per_replica // data_size
+            sds = jax.ShapeDtypeStruct((n, args.hidden), jnp.float32)
+
+            def bytes_at(ms):
+                return scan_train_bytes(args.method, ms, sds,
+                                        n_obs=args.time_tick)
+
+            if (args.budget_buckets > 1 and replica_budgets is not None
+                    and mesh is None):
+                # buckets train SEQUENTIALLY: peak HBM is the largest single
+                # bucket's footprint, not all replicas at the hardest budget
+                # (that estimate would reject sweeps that actually fit)
+                from ndcn_tpu.train.budget import bucket_budgets
+                groups = bucket_budgets(replica_budgets, args.budget_buckets)
+                est = max(len(ix) * bytes_at(b) for b, ix in groups)
+                per_replica = max(bytes_at(b) for b, _ in groups)
+                data_size = 1
+            else:
+                per_replica = bytes_at(max_steps)
+                data_size = int(mesh.shape["data"]) if mesh is not None else 1
+                est = r * per_replica // data_size
             budget = int(0.85 * accelerator_memory_limit())
             if est > budget:
                 fit = data_size * (budget // per_replica)
@@ -482,13 +496,19 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         dead = [i for i in range(r)
                 if not bool(jnp.all(jnp.isfinite(logits_b[i])))]
         if dead and model_name in ("differential_gcn", "odeGCN"):
+            if args.max_steps > 0:
+                origin = f"--max_steps {max_steps} was given explicitly"
+            elif args.method not in ("dopri5", "tsit5"):
+                origin = f"default max_steps={max_steps} (no probe for " \
+                         f"method={args.method})"
+            elif len(buckets) > 1:
+                origin = "probe-sized one per bucket"
+            else:
+                origin = (f"probe-sized max_steps={max_steps} from the "
+                          f"hardest of {min(4, r)} probed inits")
             print(f"[budget] replicas {dead} exhausted their step budget "
                   f"during training — their rows are NaN; re-run with a "
-                  f"larger --max_steps (budgets were probe-sized: "
-                  + ("one per bucket" if len(buckets) > 1 else
-                     f"max_steps={max_steps} from the hardest of "
-                     f"{min(4, r)} probed inits") + ")",
-                  flush=True)
+                  f"larger --max_steps (budgets: {origin})", flush=True)
         elif dead:
             print(f"[warn] replicas {dead} produced non-finite logits",
                   flush=True)

@@ -122,6 +122,16 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
         from ndcn_tpu.kernels import coo_spmv
         coo_spmv.GATHER_BF16 = True
 
+    if getattr(args, "emission_precision", "f32") != "f32" and (
+            args.method not in ("dopri5", "tsit5") or args.adjoint):
+        # fail-loudly policy: ode_block strips the emission options off the
+        # fixed-grid/adjoint paths, so accepting the flag here would silently
+        # run 100% of training with the f32 buffers the user asked to halve
+        raise SystemExit("--emission_precision bf16 applies only to the "
+                         "differentiable adaptive solve (--method dopri5/"
+                         "tsit5, without --adjoint); it would be a silent "
+                         "no-op for this configuration")
+
     from ndcn_tpu.dynamics import make_rhs
     from ndcn_tpu.graph import generators, operators
     from ndcn_tpu.graph.sparse import as_operator

@@ -160,7 +160,14 @@ def from_scipy_coo(mat: sp.spmatrix, dtype=jnp.float32,
     vals_t = coo.data[order_t]
     n = int(coo.shape[0])
     if tiled is None:
-        tiled = coo.nnz >= TILE_PACK_THRESHOLD
+        # the tile packing (and the Pallas kernel's split-accumulation
+        # numerics) are f32-only; other dtypes take the XLA segment-sum
+        # path, which honours the requested dtype end to end
+        tiled = coo.nnz >= TILE_PACK_THRESHOLD and dtype == jnp.float32
+    elif tiled and dtype != jnp.float32:
+        raise ValueError(f"tiled COO packing is float32-only (the kernel's "
+                         f"split accumulation assumes f32 vals); got "
+                         f"dtype={dtype} — use dtype=float32 or tiled=False")
     tiles = tiles_t = None
     if tiled:
         from ndcn_tpu.kernels.coo_spmv import pack_tiles
@@ -243,20 +250,19 @@ def _nan_cotangent(leaf):
     return np.zeros(leaf.shape, jax.dtypes.float0)
 
 
+def poison_coo_cotangent(op: "CooGraph") -> "CooGraph":
+    """The NaN-poisoned operator cotangent every CooGraph custom VJP returns:
+    NaN float leaves (a learned-sparse-operator model differentiating through
+    a constant-operator path fails LOUDLY instead of silently never training),
+    float0 for int index leaves, mirroring the primal's FULL pytree structure
+    including any CooTiles packing riding along. One definition — when
+    CooGraph grows a field, every custom VJP stays structurally correct."""
+    return jax.tree_util.tree_map(_nan_cotangent, op)
+
+
 def _coo_matvec_bwd(op, g):
     dx = _coo_apply(op.rows_t, op.cols_t, op.vals_t, op.n, g)
-    # the cotangent must mirror the primal's FULL pytree structure, including
-    # any CooTiles packing riding along (d=1/CPU routes reach here with tiles)
-    poison_tiles = lambda t: (None if t is None else jax.tree_util.tree_map(
-        _nan_cotangent, t))
-    dop = CooGraph(rows=_nan_cotangent(op.rows), cols=_nan_cotangent(op.cols),
-                   vals=_nan_cotangent(op.vals),
-                   rows_t=_nan_cotangent(op.rows_t),
-                   cols_t=_nan_cotangent(op.cols_t),
-                   vals_t=_nan_cotangent(op.vals_t),
-                   tiles=poison_tiles(op.tiles),
-                   tiles_t=poison_tiles(op.tiles_t), n=op.n)
-    return dop, dx
+    return poison_coo_cotangent(op), dx
 
 
 _coo_matvec.defvjp(_coo_matvec_fwd, _coo_matvec_bwd)

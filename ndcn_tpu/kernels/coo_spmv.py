@@ -209,10 +209,18 @@ def _spmv_T(tiles: CooTiles, xT: jnp.ndarray) -> jnp.ndarray:
     return _reduce_call(tiles, gathered)[:, : tiles.n]
 
 
+def sublane_pad(d: int) -> int:
+    """The feature-major (d_sub, n) solve's padded feature count: d rounded up
+    to the 8-sublane tile. THE single definition — ndcn_forward must produce
+    exactly the d_sub that spmv_T / the dynamics' feature-major paths consume,
+    or shapes mismatch at trace time."""
+    return max(8, -(-d // 8) * 8)
+
+
 def tiled_spmv_raw(tiles: CooTiles, x: jnp.ndarray) -> jnp.ndarray:
     """y = A @ x for x (n, d); feature-major padding/transposes inside."""
     n, d = x.shape
-    d_sub = max(8, -(-d // 8) * 8)
+    d_sub = sublane_pad(d)
     xT = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, d_sub - d))).T
     out = _spmv_T(tiles, xT)
     return out[:d].T.astype(x.dtype)

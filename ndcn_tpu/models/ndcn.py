@@ -266,8 +266,10 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
         if no_control or no_graph or drop_mask is not None:
             raise ValueError("layout='feature_major' requires the full RHS "
                              "(graph + control on, dropout 0)")
+        from ndcn_tpu.kernels.coo_spmv import sublane_pad
+
         d = h.shape[1]
-        d_sub = max(8, -(-d // 8) * 8)
+        d_sub = sublane_pad(d)
         hT = jnp.pad(h, ((0, 0), (0, d_sub - d))).T      # (d_sub, n)
 
         def func(p, t, hh):

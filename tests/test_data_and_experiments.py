@@ -313,18 +313,25 @@ def test_large_graph_scale_demo_bf16_memory_modes(tmp_path):
 
 
 def test_heat_driver_precision_flags():
-    """--emission_precision/--residual_precision on the shared driver: no-op
-    under method=euler (options gated off the fixed-grid path), effective
-    under dopri5 — both must run end to end."""
+    """--emission_precision/--residual_precision on the shared driver:
+    emission bf16 runs under dopri5 but is REJECTED loudly under euler
+    (ode_block would strip it into a silent no-op); residual bf16 applies to
+    the RHS under any method and runs."""
     from ndcn_tpu.experiments.dynamics import build_parser, run
-    for method in ("euler", "dopri5"):
-        args = build_parser("heat").parse_args(
-            ["--network", "grid", "--n", "100", "--time_tick", "20",
-             "--niters", "4", "--test_freq", "2", "--platform", "cpu",
-             "--method", method, "--emission_precision", "bf16",
-             "--residual_precision", "bf16"])
-        res = run("heat", args)
-        assert np.isfinite(res["final"]["train_loss"])
+    base = ["--network", "grid", "--n", "100", "--time_tick", "20",
+            "--niters", "4", "--test_freq", "2", "--platform", "cpu"]
+    args = build_parser("heat").parse_args(
+        base + ["--method", "dopri5", "--emission_precision", "bf16",
+                "--residual_precision", "bf16"])
+    res = run("heat", args)
+    assert np.isfinite(res["final"]["train_loss"])
+    args = build_parser("heat").parse_args(
+        base + ["--method", "euler", "--residual_precision", "bf16"])
+    res = run("heat", args)
+    assert np.isfinite(res["final"]["train_loss"])
+    with pytest.raises(SystemExit):
+        run("heat", build_parser("heat").parse_args(
+            base + ["--method", "euler", "--emission_precision", "bf16"]))
 
 
 @pytest.mark.slow
