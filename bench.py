@@ -412,7 +412,42 @@ def bench_dgnn_epoch(n_epochs=12):
     return min(epoch_passes), epoch_passes
 
 
+def wait_for_backend(max_wait_s=None):
+    """Ride out a wedged axon tunnel before burning the real bench on it.
+
+    The tunnel occasionally wedges (a killed client mid-compile, an OOM'd
+    process) and every later client fails init with UNAVAILABLE — measured
+    outages of 30+ minutes. A failed init is CACHED for the life of the
+    process, so the probe runs in SUBPROCESSES; each failed probe already
+    spends the plugin's internal retry window (~25 min), so the loop is
+    naturally paced. No-op off the axon platform."""
+    import subprocess
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return True
+    max_wait_s = max_wait_s or int(os.environ.get("BENCH_BACKEND_WAIT_S",
+                                                  "1800"))
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
+            capture_output=True, text=True)
+        if r.returncode == 0:
+            log(f"[backend] up: {r.stdout.strip()} (probe {attempt})")
+            return True
+        if time.time() > deadline:
+            log(f"[backend] still unavailable after {attempt} probe(s) / "
+                f"{max_wait_s}s budget; proceeding — the run will fail "
+                f"loudly rather than record a wrong number")
+            return False
+        log(f"[backend] unavailable (probe {attempt}): "
+            f"{(r.stderr or '').strip().splitlines()[-1][:120] if r.stderr else 'no stderr'}; retrying")
+        time.sleep(60)
+
+
 def main():
+    wait_for_backend()
     om, t_train, x0 = setup_problem()
     jax_steps_per_s, jax_nfe, jax_passes = bench_jax(om, t_train, x0)
     log(f"[jax] {jax_steps_per_s:.2f} train steps/s "
