@@ -91,6 +91,12 @@ def main(argv=None):
                          "loaded if present (caller owns key uniqueness — "
                          "the file stores n/deg/dynamics/seed and mismatches "
                          "are rejected). The 1M-node CPU solve takes ~15 min")
+    ap.add_argument("--estimate", action="store_true",
+                    help="print the shape-derived HBM breakdown of the train "
+                         "step (emissions, saved residuals, tiles, data) for "
+                         "this configuration and exit — size a million-node "
+                         "run without burning a tunnel compile. Run with "
+                         "--platform cpu; only shapes are used")
     ap.add_argument("--mesh", action="store_true",
                     help="row-shard the operator and node-major arrays over "
                          "all visible devices ('model' axis); prints a "
@@ -153,6 +159,53 @@ def main(argv=None):
     x0 = jnp.asarray(rng.uniform(0.0, 25.0, size=(n, 1)).astype(np.float32))
 
     from ndcn_tpu.ode import odeint_with_stats
+
+    if args.estimate:
+        # Shape-derived HBM breakdown of the train step — no ground truth, no
+        # device compile; the same probe sizes the budget as the real run.
+        from ndcn_tpu.kernels.coo_spmv import sublane_pad
+        from ndcn_tpu.ode import adaptive
+        from ndcn_tpu.train.budget import accelerator_memory_limit
+
+        params = init_ndcn(jax.random.PRNGKey(args.seed), 1, args.hidden, 1)
+        p_c, op_c, t_c, x_c = to_cpu((params, model_op, t_train, x0))
+        stats = ndcn_forward(p_c, op_c, t_c, x_c, rtol=0.01, atol=0.001,
+                             method="dopri5", max_steps=1 << 14,
+                             nondiff=True)[1]
+        from ndcn_tpu.train.budget import probe_step_budget
+        ms = probe_step_budget(lambda: stats, floor=8, headroom=1.5, slack=2,
+                               quantum=4)
+        d_sub = sublane_pad(args.hidden)
+        st32 = n * d_sub * 4                          # one (d_sub, n) f32
+        em_scale = 0.5 if args.emission_precision == "bf16" else 1.0
+        rs_scale = 0.5 if args.residual_precision == "bf16" else 1.0
+        y_sds = jax.ShapeDtypeStruct((d_sub, n), jnp.float32)
+        interp32 = sum(int(np.prod(l.shape)) * l.dtype.itemsize
+                       for l in jax.tree_util.tree_leaves(jax.eval_shape(
+                           adaptive.DOPRI5_METHOD.interp_init, y_sds)))
+        emissions = int(ms * interp32 * em_scale) * 2   # fwd + bwd cotangent
+        carry_saves = ms * 2 * st32                     # (y, f) per scan slot
+        spmv_saves = int(ms * 6 * st32 * rs_scale)      # 6 new evals/attempt
+        tiles_b = 0
+        if model_op.tiles is not None:
+            slots = int(model_op.tiles.cols.size)
+            tiles_b = 2 * slots * (4 + 4 + 4)           # cols+vals+local_rows
+        data_b = (len(splits.id_train) + 1) * n * 4     # target + x0
+        total = emissions + carry_saves + spmv_saves + tiles_b + data_b
+        limit = accelerator_memory_limit()
+        for name, b in [("emissions(fwd+bwd)", emissions),
+                        ("carry_saves", carry_saves),
+                        ("spmv_saves", spmv_saves), ("tiles", tiles_b),
+                        ("data", data_b)]:
+            print(f"  {name:<20s} {b / 1e9:6.2f} GB", file=sys.stderr)
+        print(json.dumps({
+            "estimate_gb": round(total / 1e9, 2),
+            "hbm_limit_gb": round(limit / 1e9, 2),
+            "fits": total < 0.85 * limit, "max_steps": int(ms),
+            "n_nodes": n, "nnz": int(adj.nnz), "hidden": args.hidden,
+            "emission_precision": args.emission_precision,
+            "residual_precision": args.residual_precision}))
+        return None, None
 
     # Ground truth on the CPU backend, like the main driver (dynamics.py):
     # the d=1 physics state is (n, 1), whose minor dim pads 128x under the

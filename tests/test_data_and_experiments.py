@@ -312,6 +312,25 @@ def test_large_graph_scale_demo_bf16_memory_modes(tmp_path):
                   "--platform", "cpu", "--gt_cache", cache])
 
 
+def test_large_graph_estimate_mode(capsys):
+    """--estimate prints the shape-derived HBM breakdown and exits without
+    solving ground truth; bf16 levers must halve their components."""
+    mod = _load_large_graph_module()
+    import json as _json
+
+    def run_est(extra):
+        mod.main(["--n", "30000", "--deg", "6", "--estimate",
+                  "--platform", "cpu"] + extra)
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return _json.loads(out)
+
+    e32 = run_est([])
+    ebf = run_est(["--emission_precision", "bf16",
+                   "--residual_precision", "bf16"])
+    assert e32["fits"] in (True, False) and e32["max_steps"] >= 8
+    assert ebf["estimate_gb"] < e32["estimate_gb"]
+
+
 def test_heat_driver_precision_flags():
     """--emission_precision/--residual_precision on the shared driver:
     emission bf16 runs under dopri5 but is REJECTED loudly under euler
