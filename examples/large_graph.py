@@ -183,7 +183,11 @@ def main(argv=None):
         interp32 = sum(int(np.prod(l.shape)) * l.dtype.itemsize
                        for l in jax.tree_util.tree_leaves(jax.eval_shape(
                            adaptive.DOPRI5_METHOD.interp_init, y_sds)))
-        emissions = int(ms * interp32 * em_scale) * 2   # fwd + bwd cotangent
+        n_coeff = interp32 // (st32 or 1)               # 5 for dopri5
+        # the decoder folds through the solver's emissions (emission_readout,
+        # applied per coefficient INSIDE the scan): each emitted slot is
+        # readout-sized (n x num_classes=1), not state-sized — d_sub x less
+        emissions = int(ms * n_coeff * n * 4 * em_scale) * 2  # fwd + bwd
         carry_saves = ms * 2 * st32                     # (y, f) per scan slot
         spmv_saves = int(ms * 6 * st32 * rs_scale)      # 6 new evals/attempt
         tiles_b = 0

@@ -228,20 +228,24 @@ def solve_while(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
 
 
 def _make_guarded_attempt(method: AdaptiveMethod, func, ctrl: Controller,
-                          tdtype, interp_zero):
+                          tdtype, interp_zero, stack_fn):
     """A step attempt whose GRADIENT survives overflowing trial steps.
 
     Forward == the masked attempt (identical numbers); backward switches to
     the forced-reject linearization when the attempt's internals went
     non-finite — full rationale and contract in ode/grad_guard.py. Accept and
     finite ride as 0/1 floats (the guard requires all-inexact outputs).
+
+    ``stack_fn`` maps the attempt's interp state to the emitted coefficient
+    stack — method.interp_stack, optionally composed with a per-coefficient
+    readout (see solve_scan's emission_readout).
     """
 
     def attempt(rk):
         base, interp_att, tts, accept, finite = _attempt_step_core(
             method, func, rk, ctrl, tdtype)
         stacked_flat = tree_map(lambda l, z: l.reshape(-1).astype(z.dtype),
-                                method.interp_stack(interp_att), interp_zero)
+                                stack_fn(interp_att), interp_zero)
         interp_out = tree_where(accept, stacked_flat, interp_zero)
         return (base, interp_out, tts, accept.astype(tdtype),
                 finite.astype(tdtype))
@@ -266,15 +270,17 @@ def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
     """Reverse-differentiable bounded solve. Returns (solution, SolveStats).
 
     ``emission_readout``: optional LINEAR map from a state pytree to a (much
-    smaller) observable, applied to the emitted dense-output coefficients
-    before the observation matmul. Because both the interpolation and the
-    readout are linear in the state, readout(interp(c)) == interp(readout(c))
-    EXACTLY — so the full solution trajectory (T × state, e.g. the 2.4 GB
-    hidden trajectory of a 1M-node NDCN solve, plus its backward mirror) is
-    never materialized; the returned "solution" is the readout trajectory
-    (T, *readout_shape). Affine offsets must be added by the caller (a bias
-    does not commute with interpolation). Ignored by the while path (no
-    emissions there — apply the readout to its output instead).
+    smaller) observable, applied to each emitted dense-output coefficient
+    INSIDE the scan body. Because both the interpolation and the readout are
+    linear in the state, readout(interp(c)) == interp(readout(c)) EXACTLY —
+    so neither the full solution trajectory (T × state) NOR the full-state
+    emission buffers (S × C × state, the scan's dominant residual: 3.8 GB
+    per direction for a 1M-node solve) ever materialize; the emissions and
+    their backward cotangents shrink to S × C × readout and the returned
+    "solution" is the readout trajectory (T, *readout_shape). Affine offsets
+    must be added by the caller (a bias does not commute with interpolation).
+    Ignored by the while path (no emissions there — apply the readout to its
+    output instead).
 
     Runs exactly ``max_steps`` step attempts; iterations after the final time is
     reached are skipped via lax.cond (no RHS evals, frozen carry). Gradient
@@ -310,11 +316,19 @@ def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
     # observation readout accumulates in f32 below. ~4e-3 relative on
     # interpolated observations; solver STEPS are unaffected (the carry stays
     # full precision), so use it where the loss tolerates bf16 reads.
-    interp_tmpl = method.interp_stack(tree_map(jnp.zeros_like, interp0))
+    if emission_readout is not None:
+        # compose the readout into the emission itself (vmapped over the
+        # coefficient axis): every emitted slot is readout-sized from birth
+        def stack_fn(interp_att):
+            return jax.vmap(emission_readout)(method.interp_stack(interp_att))
+    else:
+        stack_fn = method.interp_stack
+    interp_tmpl = stack_fn(tree_map(jnp.zeros_like, interp0))
     if emission_dtype is not None:
         interp_tmpl = tree_map(lambda l: l.astype(emission_dtype), interp_tmpl)
     interp_zero = tree_map(lambda l: l.reshape(-1), interp_tmpl)
-    guarded = _make_guarded_attempt(method, func, ctrl, tdtype, interp_zero)
+    guarded = _make_guarded_attempt(method, func, ctrl, tdtype, interp_zero,
+                                    stack_fn)
 
     # Rematerialized per-iteration backward — but SAVE any value the model
     # tagged with checkpoint_name("ndcn_spmv") (the graph SpMV output,
@@ -386,28 +400,10 @@ def solve_scan(method: AdaptiveMethod, func, y0, t, ctrl: Controller,
                              buf.dtype, jnp.float32))
         return out.reshape((w_full.shape[0],) + tmpl.shape[1:])
 
-    if emission_readout is not None:
-        # contract the readout through the (S·C, *state) coefficients FIRST —
-        # the observation matmul then produces (O, *readout) directly and the
-        # (O, *state) trajectory never exists
-        coeffs = tree_map(
-            lambda buf, tmpl: buf.reshape((buf.shape[0] * tmpl.shape[0],)
-                                          + tmpl.shape[1:]),
-            steps["interp"], interp_tmpl)
-        red = jax.vmap(emission_readout)(coeffs)        # (S·C, *readout)
-
-        def eval_red_leaf(l):
-            out = jnp.matmul(w_full.astype(l.dtype), l.reshape(l.shape[0], -1),
-                             precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.promote_types(
-                                 l.dtype, jnp.float32))
-            return out.reshape((w_full.shape[0],) + l.shape[1:])
-
-        ys_obs = tree_map(eval_red_leaf, red)
-        y0_out = emission_readout(y0)
-    else:
-        ys_obs = tree_map(eval_leaf, steps["interp"], interp_tmpl)
-        y0_out = y0
+    # with emission_readout the emitted buffers (and interp_tmpl) are already
+    # readout-shaped — the same evaluation matmul serves both cases
+    ys_obs = tree_map(eval_leaf, steps["interp"], interp_tmpl)
+    y0_out = y0 if emission_readout is None else emission_readout(y0)
     sol = tree_map(lambda y, ys: jnp.concatenate([y[None], ys.astype(y.dtype)],
                                                  axis=0), y0_out, ys_obs)
 
