@@ -158,17 +158,26 @@ def init_ndcn(key, input_size: int, hidden_size: int, num_classes: int,
     return params
 
 
+# Above this node count 'auto' picks the feature-major layout: the decisive
+# factor is MEMORY, not speed — the (n, d) layout's remat-saved SpMV outputs
+# tile to (n, 128) lanes (6.4x at d=20: 14.7 GB instead of 2.3 at 1M nodes),
+# while the (d_sub, n) layout keeps the node dim minor and pads nothing.
+_FEATURE_MAJOR_AUTO_NODES = 500_000
+
+
 def _feature_major_ok(op, h, no_graph, no_control, dropout, fused) -> bool:
     """Layout-eligibility predicate: the feature-major (d_sub, n) solve
     applies when the operator serves the Pallas tiled-COO kernel and the
     hidden width pays lane padding in the (n, d) layout. Excludes ablations /
     dropout / fused (those paths are written for (n, d)).
 
-    NB 'auto' does NOT select it: measured head-to-head at 200k nodes
-    (docs/PARITY.md), feature-major ties the (n, d) layout — the SpMV is
-    bound by the XLA gather's row rate (~560M rows/s), and the padded
-    elementwise traffic the transposed state would save hides under it. The
-    layout stays available explicitly for shapes where that balance differs."""
+    'auto' selects it only above _FEATURE_MAJOR_AUTO_NODES (memory: the padded
+    remat residuals of the (n, d) layout exceed HBM there). BELOW that,
+    measured head-to-head at 200k nodes (docs/PARITY.md), feature-major ties
+    the (n, d) layout — the SpMV is bound by the XLA gather's row rate
+    (~560M rows/s), and the padded elementwise traffic the transposed state
+    would save hides under it — so 'auto' keeps 'nd' and its reference
+    error-norm semantics. The layout stays available explicitly."""
     from ndcn_tpu.graph.sparse import CooGraph, use_tiled_kernel
 
     return (isinstance(op, CooGraph) and op.tiles is not None
@@ -250,8 +259,13 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
     if layout not in ("auto", "nd", "feature_major"):
         raise ValueError(f"unknown layout {layout!r}")
     feature_major = layout == "feature_major"
-    if feature_major and not _feature_major_ok(op, h, no_graph, no_control,
-                                               dropout, fused):
+    if (layout == "auto" and x.shape[0] >= _FEATURE_MAJOR_AUTO_NODES
+            and _feature_major_ok(op, h, no_graph, no_control, dropout,
+                                  fused)):
+        feature_major = True
+    if feature_major and layout != "auto" \
+            and not _feature_major_ok(op, h, no_graph, no_control,
+                                      dropout, fused):
         raise ValueError("layout='feature_major' requires a tile-packed COO "
                          "operator on TPU with the full RHS (graph + control "
                          "on, dropout 0, unfused) and a lane-padded hidden "

@@ -503,3 +503,41 @@ def test_feature_major_auto_predicate(monkeypatch):
                                  0.0, False)
     monkeypatch.setattr(gs, "use_tiled_kernel", lambda: False)
     assert not _feature_major_ok(op_tiled, h, False, False, 0.0, False)
+
+
+def test_layout_auto_picks_feature_major_above_node_threshold(monkeypatch):
+    """layout='auto' resolves to feature_major above _FEATURE_MAJOR_AUTO_NODES
+    (memory: the (n, d) layout's remat-saved residuals pay the 128-lane pad),
+    and stays 'nd' below it. Detected by spying on ode_func_T."""
+    import ndcn_tpu.graph.sparse as gs
+    import ndcn_tpu.models.ndcn as m
+    from ndcn_tpu.models import init_ndcn, ndcn_forward
+
+    rng = np.random.RandomState(2)
+    n = 90
+    dense = (rng.rand(n, n) * (rng.rand(n, n) < 0.1)).astype(np.float32)
+    np.fill_diagonal(dense, 0)
+    op = gs.from_scipy_coo(sp.csr_matrix(dense), tiled=True)
+    x0 = jnp.asarray(rng.rand(n, 1), jnp.float32)
+    vt = jnp.linspace(0.0, 1.0, 4)
+    params = init_ndcn(jax.random.PRNGKey(0), 1, 12, 1)
+    monkeypatch.setattr(gs, "use_tiled_kernel", lambda: True)
+
+    calls = []
+    orig = m.ode_func_T
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(m, "ode_func_T", spy)
+
+    monkeypatch.setattr(m, "_FEATURE_MAJOR_AUTO_NODES", n + 1)
+    out_nd, _ = ndcn_forward(params, op, vt, x0, method="rk4", layout="auto")
+    assert not calls, "below threshold, auto must stay nd"
+
+    monkeypatch.setattr(m, "_FEATURE_MAJOR_AUTO_NODES", n)
+    out_fm, _ = ndcn_forward(params, op, vt, x0, method="rk4", layout="auto")
+    assert calls, "at threshold, auto must pick feature_major"
+    np.testing.assert_allclose(np.asarray(out_fm), np.asarray(out_nd),
+                               atol=1e-6)
