@@ -430,9 +430,20 @@ def wait_for_backend(max_wait_s=None):
     attempt = 0
     while True:
         attempt += 1
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
-            capture_output=True, text=True)
+        # the probe is bounded by the REMAINING budget (a fully-hung client
+        # never returns on its own — the documented wedge symptom), so
+        # BENCH_BACKEND_WAIT_S is honored even mid-probe; killing a client
+        # that never acquired the device cannot wedge an already-wedged tunnel
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
+                capture_output=True, text=True,
+                timeout=max(60.0, deadline - time.time()))
+        except subprocess.TimeoutExpired:
+            log(f"[backend] probe {attempt} hung past the {max_wait_s}s "
+                f"budget; proceeding — the run will fail loudly rather than "
+                f"record a wrong number")
+            return False
         if r.returncode == 0:
             log(f"[backend] up: {r.stdout.strip()} (probe {attempt})")
             return True
@@ -441,8 +452,9 @@ def wait_for_backend(max_wait_s=None):
                 f"{max_wait_s}s budget; proceeding — the run will fail "
                 f"loudly rather than record a wrong number")
             return False
+        err_lines = (r.stderr or "").strip().splitlines()
         log(f"[backend] unavailable (probe {attempt}): "
-            f"{(r.stderr or '').strip().splitlines()[-1][:120] if r.stderr else 'no stderr'}; retrying")
+            f"{err_lines[-1][:120] if err_lines else 'no stderr'}; retrying")
         time.sleep(60)
 
 

@@ -172,27 +172,38 @@ def main(argv=None):
         stats = ndcn_forward(p_c, op_c, t_c, x_c, rtol=0.01, atol=0.001,
                              method="dopri5", max_steps=1 << 14,
                              nondiff=True)[1]
-        from ndcn_tpu.train.budget import probe_step_budget
         ms = probe_step_budget(lambda: stats, floor=8, headroom=1.5, slack=2,
                                quantum=4)
+        # Which solve layout will the real run use? The (n, d) layout's
+        # per-step residents tile to (n, ≥128) lanes on TPU — 128/d x padding
+        # at small hidden widths (the models/ndcn layout rationale); the
+        # feature-major (d_sub, n) layout pads only d -> d_sub sublanes.
+        # NB train/budget.scan_train_bytes is the generic (validated) solve
+        # estimator; this breakdown adds the demo-specific terms it cannot
+        # know (readout-sized emissions, bf16 levers, tile packing, padding).
+        from ndcn_tpu.models.ndcn import _FEATURE_MAJOR_AUTO_NODES
+        fm = (args.layout == "feature_major"
+              or (args.layout == "auto" and n >= _FEATURE_MAJOR_AUTO_NODES))
         d_sub = sublane_pad(args.hidden)
-        st32 = n * d_sub * 4                          # one (d_sub, n) f32
+        d_lane = -(-args.hidden // 128) * 128           # (n, d) lane padding
+        st32 = n * (d_sub if fm else d_lane) * 4        # one padded state f32
         em_scale = 0.5 if args.emission_precision == "bf16" else 1.0
         rs_scale = 0.5 if args.residual_precision == "bf16" else 1.0
         y_sds = jax.ShapeDtypeStruct((d_sub, n), jnp.float32)
         interp32 = sum(int(np.prod(l.shape)) * l.dtype.itemsize
                        for l in jax.tree_util.tree_leaves(jax.eval_shape(
                            adaptive.DOPRI5_METHOD.interp_init, y_sds)))
-        n_coeff = interp32 // (st32 or 1)               # 5 for dopri5
+        n_coeff = interp32 // (n * d_sub * 4)           # 5 for dopri5
         # the decoder folds through the solver's emissions (emission_readout,
         # applied per coefficient INSIDE the scan): each emitted slot is
-        # readout-sized (n x num_classes=1), not state-sized — d_sub x less
+        # readout-sized (flattened n x num_classes=1), not state-sized
         emissions = int(ms * n_coeff * n * 4 * em_scale) * 2  # fwd + bwd
         carry_saves = ms * 2 * st32                     # (y, f) per scan slot
         spmv_saves = int(ms * 6 * st32 * rs_scale)      # 6 new evals/attempt
         tiles_b = 0
-        if model_op.tiles is not None:
-            slots = int(model_op.tiles.cols.size)
+        tiles = getattr(model_op, "tiles", None)
+        if tiles is not None:
+            slots = int(tiles.cols.size)
             tiles_b = 2 * slots * (4 + 4 + 4)           # cols+vals+local_rows
         data_b = (len(splits.id_train) + 1) * n * 4     # target + x0
         total = emissions + carry_saves + spmv_saves + tiles_b + data_b
@@ -206,6 +217,7 @@ def main(argv=None):
             "estimate_gb": round(total / 1e9, 2),
             "hbm_limit_gb": round(limit / 1e9, 2),
             "fits": total < 0.85 * limit, "max_steps": int(ms),
+            "layout": "feature_major" if fm else "nd",
             "n_nodes": n, "nnz": int(adj.nnz), "hidden": args.hidden,
             "emission_precision": args.emission_precision,
             "residual_precision": args.residual_precision}))
@@ -258,7 +270,8 @@ def main(argv=None):
     cpu_probe = to_cpu((params, model_op, t_train, x0))
 
     from ndcn_tpu.graph.sparse import use_tiled_kernel
-    if model_op.tiles is not None and not args.mesh and use_tiled_kernel():
+    if (getattr(model_op, "tiles", None) is not None and not args.mesh
+            and use_tiled_kernel()):
         # the tiled TPU path never reads the plain COO triplets — drop them
         # from the DEVICE operator so their ~480 MB (at 1M nodes) of HBM goes
         # to the train step instead (the CPU probe copy above keeps its own).

@@ -230,10 +230,12 @@ def ndcn_forward(params: Dict[str, Any], op: GraphOperator, vt: jnp.ndarray,
     the ODE state to (d_sub, n) for the solve — the TPU-native layout for
     tiled-COO operators at scale (the node dim rides the 128-lane minor
     position, so solver arithmetic stops paying the 128/d padding tax and the
-    kernel needs no per-eval transposes). 'auto' currently resolves to 'nd':
-    measured at 200k nodes the layouts tie — the SpMV is gather-row-rate
-    bound, so the saved padded traffic hides under it (_feature_major_ok
-    docstring) — and 'nd' keeps the reference error-norm semantics.
+    kernel needs no per-eval transposes). 'auto' resolves to 'nd' below
+    _FEATURE_MAJOR_AUTO_NODES (measured tie at 200k nodes — the SpMV is
+    gather-row-rate bound — and 'nd' keeps the reference error-norm
+    semantics) and to 'feature_major' at/above it when eligible (memory: the
+    (n, d) layout's remat-saved residuals pay the 128-lane pad, which is
+    what OOMs million-node steps).
     NB feature_major widens the
     error-norm element count by d_sub/d (the zero pad rows contribute zero
     error), equivalent to scaling rtol by ~(d_sub/d)^(1/2) ≈ 1.05 at d=20 —

@@ -423,3 +423,23 @@ def test_emission_readout_exact_and_differentiable():
     g_ref = jax.grad(loss)(jnp.asarray(1.3), False)
     g_ro = jax.grad(loss)(jnp.asarray(1.3), True)
     np.testing.assert_allclose(float(g_ro), float(g_ref), rtol=1e-4)
+
+    # Gradient WRT THE READOUT MATRIX itself: R is captured inside the
+    # guarded scan attempt (closure-converted const of the custom_vjp) — the
+    # decoder-weight path every folded training run uses. Must match the
+    # readout-after-solve gradient.
+    def loss_R(Rm, use_readout):
+        o = dict(opts)
+        if use_readout:
+            o["emission_readout"] = lambda y: y @ Rm
+        sol = odeint(rhs, y0, t, rtol=1e-5, atol=1e-7, method="dopri5",
+                     options=o)
+        if not use_readout:
+            sol = sol @ Rm
+        return jnp.sum(sol ** 2)
+
+    gR_ref = jax.grad(loss_R)(R, False)
+    gR_ro = jax.grad(loss_R)(R, True)
+    np.testing.assert_allclose(np.asarray(gR_ro), np.asarray(gR_ref),
+                               rtol=1e-4, atol=1e-6)
+    assert float(jnp.abs(gR_ro).sum()) > 0.0
