@@ -418,9 +418,12 @@ def wait_for_backend(max_wait_s=None):
     The tunnel occasionally wedges (a killed client mid-compile, an OOM'd
     process) and every later client fails init with UNAVAILABLE — measured
     outages of 30+ minutes. A failed init is CACHED for the life of the
-    process, so the probe runs in SUBPROCESSES; each failed probe already
-    spends the plugin's internal retry window (~25 min), so the loop is
-    naturally paced. No-op off the axon platform."""
+    process, so the probe runs in SUBPROCESSES. Each probe is SHORT (≤180 s)
+    and the loop then leaves the tunnel fully idle before the next one: a
+    client parked in the plugin's ~25-min init-retry loop counts as tunnel
+    pressure, and an outage where retry clients were attached near-continuously
+    was observed to persist 8+ hours (2026-08-18) — recovery wants
+    client-free time, not a waiting client. No-op off the axon platform."""
     import subprocess
     if os.environ.get("JAX_PLATFORMS", "") != "axon":
         return True
@@ -430,32 +433,34 @@ def wait_for_backend(max_wait_s=None):
     attempt = 0
     while True:
         attempt += 1
-        # the probe is bounded by the REMAINING budget (a fully-hung client
-        # never returns on its own — the documented wedge symptom), so
-        # BENCH_BACKEND_WAIT_S is honored even mid-probe; killing a client
-        # that never acquired the device cannot wedge an already-wedged tunnel
+        # short probe, bounded within the remaining budget (a fully-hung
+        # client never returns on its own — the documented wedge symptom);
+        # killing a client that never acquired the device cannot wedge an
+        # already-wedged tunnel
+        status = None
         try:
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
                 capture_output=True, text=True,
-                timeout=max(60.0, deadline - time.time()))
+                timeout=min(180.0, max(60.0, deadline - time.time())))
+            if r.returncode == 0:
+                log(f"[backend] up: {r.stdout.strip()} (probe {attempt})")
+                return True
+            err_lines = (r.stderr or "").strip().splitlines()
+            status = err_lines[-1][:120] if err_lines else "no stderr"
         except subprocess.TimeoutExpired:
-            log(f"[backend] probe {attempt} hung past the {max_wait_s}s "
-                f"budget; proceeding — the run will fail loudly rather than "
-                f"record a wrong number")
-            return False
-        if r.returncode == 0:
-            log(f"[backend] up: {r.stdout.strip()} (probe {attempt})")
-            return True
+            status = "probe hung (wedge symptom)"
         if time.time() > deadline:
             log(f"[backend] still unavailable after {attempt} probe(s) / "
-                f"{max_wait_s}s budget; proceeding — the run will fail "
-                f"loudly rather than record a wrong number")
+                f"{max_wait_s}s budget (last: {status}); proceeding — the "
+                f"run will fail loudly rather than record a wrong number")
             return False
-        err_lines = (r.stderr or "").strip().splitlines()
-        log(f"[backend] unavailable (probe {attempt}): "
-            f"{err_lines[-1][:120] if err_lines else 'no stderr'}; retrying")
-        time.sleep(60)
+        # leave the tunnel CLIENT-FREE between probes (see docstring); grow
+        # the idle window so most of the budget is spent idle, not attached
+        idle = min(600.0, 120.0 * attempt, max(1.0, deadline - time.time()))
+        log(f"[backend] unavailable (probe {attempt}): {status}; idling "
+            f"{idle:.0f}s client-free before the next probe")
+        time.sleep(idle)
 
 
 def main():
