@@ -13,6 +13,8 @@ implementation ("Neural Dynamics on Complex Networks", Zang & Wang, KDD 2020):
 - ``ndcn_tpu.data``      — Planetoid citation-network loading & splits.
 - ``ndcn_tpu.train``     — optax training loops with torch-parity Adam, losses, metrics.
 - ``ndcn_tpu.parallel``  — device-mesh sharding & batched experiment sweeps.
+- ``ndcn_tpu.serve``     — export the compiled inference forward as a portable
+                           serving artifact (jax.export / StableHLO).
 - ``ndcn_tpu.experiments``— CLI entry points mirroring the reference flag surfaces.
 
 Everything under ``jax.jit`` is static-shaped and compiler friendly: solver loops are

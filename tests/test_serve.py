@@ -1,0 +1,69 @@
+"""Serving-export round trips (ndcn_tpu/serve.py).
+
+The reference has no serving/deployment story (SURVEY §5: checkpointing =
+state_dicts inside its own results dicts); these tests pin the TPU-native
+one: the full inference forward exports to a StableHLO artifact whose loaded
+callable matches the in-process forward to float tolerance (the lowering may
+reassociate one-ULP differently than a fresh jit).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from ndcn_tpu.graph import generators, operators
+from ndcn_tpu.graph.sparse import as_operator, from_dense
+from ndcn_tpu.models import init_ndcn, ndcn_forward
+from ndcn_tpu.serve import (export_ndcn, load_artifact, load_ndcn,
+                            save_artifact)
+
+
+def _problem(fmt):
+    adj = generators.build_network("grid", 100, seed=0)
+    dense = operators.normalized_laplacian(adj)
+    op = (from_dense(dense) if fmt == "dense"
+          else as_operator(sp.csr_matrix(dense), sparse=True, format=fmt))
+    params = init_ndcn(jax.random.PRNGKey(0), 1, 20, 1)
+    vt = jnp.linspace(0.0, 1.0, 8)
+    x = jnp.asarray(np.random.RandomState(1).rand(100, 1), np.float32)
+    return params, op, vt, x
+
+
+@pytest.mark.parametrize("fmt", ["dense", "coo"])
+def test_export_roundtrip(fmt):
+    params, op, vt, x = _problem(fmt)
+    kw = dict(rtol=0.01, atol=0.001, method="dopri5")
+    blob = export_ndcn(params, op, vt, x.shape, **kw)
+    assert isinstance(blob, bytes) and len(blob) > 0
+    out, succ = load_ndcn(blob)(x)
+    ref, stats = ndcn_forward(params, op, vt, x, nondiff=True, **kw)
+    assert bool(succ) and bool(stats.success)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_export_terminal_classifier(tmp_path):
+    # the dgnn serving shape: frozen grid, terminal state -> logits
+    params, op, vt, x = _problem("dense")
+    blob = export_ndcn(params, op, vt, x.shape, terminal=True,
+                       rtol=0.1, atol=0.1, method="dopri5")
+    path = str(tmp_path / "model.ndcnx")
+    save_artifact(path, blob)
+    out, succ = load_ndcn(load_artifact(path))(x)
+    ref, _ = ndcn_forward(params, op, vt, x, terminal=True, nondiff=True,
+                          rtol=0.1, atol=0.1, method="dopri5")
+    assert out.shape == (100, 1) and bool(succ)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_export_forces_inference_path():
+    # nondiff passed by the caller must not break (it is forced internally)
+    params, op, vt, x = _problem("dense")
+    blob = export_ndcn(params, op, vt, x.shape, nondiff=False,
+                       rtol=0.01, atol=0.001, method="dopri5")
+    out, succ = load_ndcn(blob)(x)
+    assert bool(succ) and np.isfinite(np.asarray(out)).all()
