@@ -85,12 +85,30 @@ def build_parser() -> argparse.ArgumentParser:
                         "'model'; on a single model, row-shard the operator "
                         "and features over 'model' (params replicated)")
     p.add_argument("--data_dir", type=str, default="data")
+    p.add_argument("--export", type=str, default=None, metavar="PATH",
+                   help="after training, serialize the final model's full "
+                        "compiled inference forward (terminal logits over "
+                        "the frozen time grid) to PATH as a portable serving "
+                        "artifact (ndcn_tpu/serve.py; loads with jax alone). "
+                        "Continuous-time models, single-model path only")
     from ndcn_tpu.utils.platform import add_platform_flag
     add_platform_flag(p)
     return p
 
 
 def run(args: argparse.Namespace) -> Dict[str, Any]:
+    if args.export:
+        # fail BEFORE training, not after a long run
+        if args.model not in ("differential_gcn", "odeGCN"):
+            raise SystemExit("--export serializes the continuous-time "
+                             "inference forward; use --model "
+                             "differential_gcn or odeGCN")
+        if args.batch_iters:
+            raise SystemExit("--export needs the single-model path "
+                             "(drop --batch_iters)")
+        if args.mesh:
+            raise SystemExit("--export produces a single-device serving "
+                             "artifact (drop --mesh)")
     from ndcn_tpu.utils.platform import force_platform, set_matmul_precision
     force_platform(args.platform)
     set_matmul_precision(args.precision)
@@ -671,6 +689,18 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
 
     summary: Dict[str, Any] = {"rows": rows, "total_time": total, "fname": fname,
                                "elastic_retries": elastic.total_rollbacks}
+    if args.export:
+        # the LAST iter's trained params become the serving model
+        from ndcn_tpu.serve import export_ndcn, save_artifact
+
+        blob = export_ndcn(params, op, vt_model, features.shape,
+                           terminal=True, no_control=no_control,
+                           rtol=args.rtol, atol=args.atol, method=args.method,
+                           max_steps=1 << 14)
+        save_artifact(args.export, blob)
+        print(f"exported serving artifact ({len(blob):,} bytes) -> "
+              f"{args.export}")
+        summary["export"] = args.export
     if args.dump and rows:
         fout.close()
         accs = np.array([r[2] for r in rows])

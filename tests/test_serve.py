@@ -67,3 +67,37 @@ def test_export_forces_inference_path():
                        rtol=0.01, atol=0.001, method="dopri5")
     out, succ = load_ndcn(blob)(x)
     assert bool(succ) and np.isfinite(np.asarray(out)).all()
+
+
+def test_dgnn_export_flag(tmp_path):
+    """--export on the dgnn driver: train briefly, serialize, and the loaded
+    artifact's logits reproduce the trained model's test accuracy."""
+    from ndcn_tpu.data import load_planetoid
+    from ndcn_tpu.experiments import dgnn
+    from ndcn_tpu.serve import load_artifact, load_ndcn
+    from ndcn_tpu.train.losses import accuracy
+
+    path = str(tmp_path / "cora.ndcnx")
+    summary = dgnn.main(["--dataset", "cora", "--model", "differential_gcn",
+                         "--epochs", "3", "--hidden", "16", "--T", "1.2",
+                         "--time_tick", "4", "--dropout", "0", "--no_control",
+                         "--seed", "0", "--export", path, "--platform", "cpu"])
+    assert summary["export"] == path
+    data = load_planetoid("cora", alpha=0.5)
+    logits, succ = load_ndcn(load_artifact(path))(data.features)
+    assert bool(succ)
+    acc = float(accuracy(logits[data.idx_test], data.labels[data.idx_test]))
+    ref = summary["rows"][-1][2]
+    assert abs(acc - ref) < 1e-3, (acc, ref)
+
+
+def test_dgnn_export_rejects_unsupported():
+    import pytest
+    from ndcn_tpu.experiments import dgnn
+
+    with pytest.raises(SystemExit):
+        dgnn.main(["--model", "GCN", "--export", "/tmp/x.ndcnx",
+                   "--platform", "cpu"])
+    with pytest.raises(SystemExit):
+        dgnn.main(["--model", "differential_gcn", "--batch_iters",
+                   "--export", "/tmp/x.ndcnx", "--platform", "cpu"])
