@@ -103,12 +103,30 @@ def build_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--replicas", type=int, default=1,
                    help="train this many independent replicas simultaneously "
                         "(vmapped; dumps one results file per replica)")
+    p.add_argument("--export", type=str, default=None, metavar="PATH",
+                   help="after training, serialize the trained model's full "
+                        "compiled inference forward (trajectory over the "
+                        "run's observation grid) to PATH as a portable "
+                        "serving artifact (ndcn_tpu/serve.py; loads with jax "
+                        "alone). Continuous baselines, single model only")
     from ndcn_tpu.utils.platform import add_platform_flag
     add_platform_flag(p)
     return p
 
 
 def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
+    if getattr(args, "export", None):
+        # fail BEFORE training, not after a long run
+        if args.baseline not in ("ndcn", "no_embed", "no_control", "no_graph"):
+            raise SystemExit("--export serializes the continuous-time "
+                             "inference forward; use a continuous baseline "
+                             "(ndcn / no_embed / no_control / no_graph)")
+        if args.replicas > 1:
+            raise SystemExit("--export needs the single-model path "
+                             "(drop --replicas)")
+        if args.mesh:
+            raise SystemExit("--export produces a single-device serving "
+                             "artifact (drop --mesh)")
     from ndcn_tpu.utils.platform import force_platform, set_matmul_precision
     force_platform(args.platform)
     set_matmul_precision(args.precision)
@@ -663,6 +681,20 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
         viz.adjacency_heatmap(adj, args.network)
         viz.dynamics_surfaces(dynamics_kind, args.network, side, np.asarray(true_y),
                               np.asarray(ev["pred_test"]))
+
+    if getattr(args, "export", None):
+        # the trained model's trajectory forward over the run's FULL
+        # observation grid (the reference's eval protocol) becomes the
+        # serving artifact; runtime input is x0 alone
+        from ndcn_tpu.serve import export_ndcn, save_artifact
+
+        blob = export_ndcn(params, op, t_full, true_y0.shape,
+                           rtol=args.rtol, atol=args.atol, method=args.method,
+                           max_steps=1 << 14, **flags)
+        save_artifact(args.export, blob)
+        print(f"exported serving artifact ({len(blob):,} bytes) -> "
+              f"{args.export}", flush=True)
+        results["export"] = args.export
 
     return results
 

@@ -101,3 +101,22 @@ def test_dgnn_export_rejects_unsupported():
     with pytest.raises(SystemExit):
         dgnn.main(["--model", "differential_gcn", "--batch_iters",
                    "--export", "/tmp/x.ndcnx", "--platform", "cpu"])
+
+
+def test_dynamics_export_flag(tmp_path):
+    """--export on the dynamics driver: the artifact predicts the trajectory
+    over the run's full observation grid from x0 alone."""
+    from ndcn_tpu.experiments import dynamics
+    from ndcn_tpu.serve import load_artifact, load_ndcn
+
+    path = str(tmp_path / "heat.ndcnx")
+    res = dynamics.run("heat", dynamics.build_parser("heat").parse_args(
+        ["--network", "grid", "--n", "100", "--time_tick", "20",
+         "--niters", "10", "--test_freq", "5", "--method", "dopri5",
+         "--seed", "0", "--export", path, "--platform", "cpu"]))
+    assert res["export"] == path
+    out, succ = load_ndcn(load_artifact(path))(
+        np.zeros((100, 1), np.float32) + 5.0)
+    assert bool(succ)
+    # irregular sampling draws 1.2x time_tick observation times (sampling.py)
+    assert out.shape[0] == 24 and np.isfinite(np.asarray(out)).all()
