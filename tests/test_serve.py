@@ -120,3 +120,41 @@ def test_dynamics_export_flag(tmp_path):
     assert bool(succ)
     # irregular sampling draws 1.2x time_tick observation times (sampling.py)
     assert out.shape[0] == 24 and np.isfinite(np.asarray(out)).all()
+
+
+def test_artifact_loads_without_ndcn_tpu(tmp_path):
+    """The serving claim, literally: a FRESH python process that never imports
+    ndcn_tpu deserializes the artifact and reproduces the trajectory."""
+    import subprocess
+    import sys
+
+    params, op, vt, x = _problem("dense")
+    blob = export_ndcn(params, op, vt, x.shape,
+                       rtol=0.01, atol=0.001, method="dopri5")
+    path = str(tmp_path / "m.ndcnx")
+    save_artifact(path, blob)
+    ref, _ = ndcn_forward(params, op, vt, x, nondiff=True,
+                          rtol=0.01, atol=0.001, method="dopri5")
+    np.save(str(tmp_path / "x.npy"), np.asarray(x))
+    np.save(str(tmp_path / "ref.npy"), np.asarray(ref))
+    code = f"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import sys
+assert "ndcn_tpu" not in sys.modules
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from jax import export
+exp = export.deserialize(bytearray(open({path!r}, "rb").read()))
+out, succ = exp.call(np.load({str(tmp_path / 'x.npy')!r}))
+assert bool(succ)
+ref = np.load({str(tmp_path / 'ref.npy')!r})
+np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=1e-5)
+assert "ndcn_tpu" not in sys.modules
+print("SERVED-WITHOUT-NDCN-TPU")
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SERVED-WITHOUT-NDCN-TPU" in r.stdout
