@@ -433,16 +433,18 @@ def wait_for_backend(max_wait_s=None):
     attempt = 0
     while True:
         attempt += 1
-        # short probe, bounded within the remaining budget (a fully-hung
-        # client never returns on its own — the documented wedge symptom);
-        # killing a client that never acquired the device cannot wedge an
-        # already-wedged tunnel
+        # bounded probe within the remaining budget (a fully-hung client never
+        # returns on its own — the documented wedge symptom). The bound is
+        # generous vs a healthy ~10-40 s init: killing a client that is merely
+        # SLOW (host CPU starvation stretching a healthy init) mid-acquire is
+        # itself a wedge cause; only a truly wedged client (~25-min hang)
+        # should ever hit this timeout
         status = None
         try:
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
                 capture_output=True, text=True,
-                timeout=min(180.0, max(60.0, deadline - time.time())))
+                timeout=min(600.0, max(60.0, deadline - time.time())))
             if r.returncode == 0:
                 log(f"[backend] up: {r.stdout.strip()} (probe {attempt})")
                 return True

@@ -45,7 +45,12 @@ def export_ndcn(params: Dict[str, Any], op, vt, x_shape: Sequence[int], *,
 
     from ndcn_tpu.models import ndcn_forward
 
+    # the artifact always serves the inference (while-loop) path — drop any
+    # training-path switches a caller mirrors from their training config
+    # (adjoint=True would otherwise short-circuit ode_block before nondiff
+    # and return stats=None)
     forward_kwargs.pop("nondiff", None)
+    forward_kwargs.pop("adjoint", None)
 
     def fwd(x):
         out, stats = ndcn_forward(params, op, jnp.asarray(vt), x,
@@ -73,21 +78,10 @@ def load_ndcn(blob: bytes) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray,
 
 
 def save_artifact(path: str, blob: bytes) -> None:
-    """Atomic write (the checkpointing policy of train/checkpoint.py)."""
-    import os
-    import tempfile
+    """Atomic write (shared helper; the checkpointing policy)."""
+    from ndcn_tpu.utils.io import atomic_write
 
-    d = os.path.dirname(os.path.abspath(path))
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+    atomic_write(path, blob)
 
 
 def load_artifact(path: str) -> bytes:

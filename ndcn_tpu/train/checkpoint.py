@@ -16,11 +16,12 @@ from __future__ import annotations
 import os
 import pickle
 import re
-import tempfile
 from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
+
+from ndcn_tpu.utils.io import atomic_write
 
 _CKPT_RE = re.compile(r"ckpt_(\d+)\.pkl$")
 
@@ -40,14 +41,7 @@ def save_checkpoint(ckpt_dir: str, step: int, params, opt_state=None,
         "extra": extra or {},
     }
     path = os.path.join(ckpt_dir, f"ckpt_{int(step):08d}.pkl")
-    fd, tmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "wb") as f:
-            pickle.dump(payload, f)
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    atomic_write(path, pickle.dumps(payload))
 
     steps = sorted(all_checkpoint_steps(ckpt_dir))
     for old in steps[:-keep] if keep else []:
