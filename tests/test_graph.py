@@ -188,3 +188,39 @@ def test_coo_operator_cotangent_is_nan_poisoned():
     # x-gradient stays finite through the same call
     gx = jax.grad(lambda xx: jnp.sum(matvec(op, xx) ** 2))(x)
     assert bool(jnp.all(jnp.isfinite(gx)))
+
+
+def test_remaining_propagation_builders():
+    """Direct formula checks for the builders no other test names:
+    normalized_plus, zipf_smoothing_prime, first_order_gcn, residual_smoothing
+    (reference Propagation methods, propagation.py:95-146)."""
+    rng = np.random.RandomState(11)
+    a = (rng.rand(30, 30) < 0.2).astype(np.float64)
+    a = np.triu(a, 1)
+    a = a + a.T
+    acsr = sp.csr_matrix(a)
+    eye = np.eye(30)
+
+    def sym(m, d):
+        inv = np.where(d > 0, d ** -0.5, 0.0)
+        return inv[:, None] * m * inv[None, :]
+
+    # normalized_plus: D^-1/2 (A+I) D^-1/2 with degrees of A (pre-self-loop)
+    np.testing.assert_allclose(
+        operators.normalized_plus(a), sym(a + eye, a.sum(1)), atol=1e-6)
+
+    # zipf' = zipf - I
+    zp = np.asarray(operators.zipf_smoothing_prime(acsr).todense())
+    z = np.asarray(operators.zipf_smoothing_sparse(acsr).todense())
+    np.testing.assert_allclose(zp, z - eye, atol=1e-12)
+
+    # first-order GCN: I + D^-1/2 A D^-1/2
+    fo = np.asarray(operators.first_order_gcn(acsr).todense())
+    np.testing.assert_allclose(fo, eye + sym(a, a.sum(1)), atol=1e-12)
+
+    # residual smoothing at delta=1 == zipf smoothing; spectrum stays bounded
+    r1 = np.asarray(operators.residual_smoothing(acsr, 1.0).todense())
+    np.testing.assert_allclose(r1, z, atol=1e-12)
+    r_half = np.asarray(operators.residual_smoothing(acsr, 0.5).todense())
+    ap = 0.5 * a + eye
+    np.testing.assert_allclose(r_half, sym(ap, ap.sum(1)), atol=1e-12)
