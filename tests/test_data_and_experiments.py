@@ -290,6 +290,18 @@ def test_large_graph_scale_demo_mutualistic():
     assert relf < rel0
 
 
+def test_large_graph_scale_demo_gene():
+    """The scale demo's gene (Michaelis-Menten) path at toy size — the third
+    flagship dynamics; its coupling is A @ x^h/(1+x^h), a plain SpMV of a
+    transformed state, so it rides CooGraph.matvec (the Pallas kernel at
+    scale) like heat does."""
+    mod = _load_large_graph_module()
+    relf, rel0 = mod.main(["--n", "512", "--deg", "6", "--iters", "8",
+                           "--dynamics", "gene", "--platform", "cpu"])
+    assert np.isfinite(relf)
+    assert relf < rel0
+
+
 def test_large_graph_scale_demo_bf16_memory_modes(tmp_path):
     """The million-node HBM levers at toy size: bf16 emissions + bf16 saved
     residuals + the gt cache round-trip. Training must still converge (the
