@@ -70,6 +70,35 @@ def _snug_budget(n_accepted, n_rejected):
     return attempts + max(attempts, 2)
 
 
+# Bench timing protocol (VERDICT r3 weak #5): at least MIN_PASSES timed
+# passes, and while the max/min spread exceeds SPREAD_GATE keep adding passes
+# (up to MAX_PASSES) — the axon tunnel's host-side proxy can degrade a pass
+# uniformly ~20x, so a wide spread means the sample does not show the steady
+# state yet. The headline is the MEDIAN; the spread and full pass list ride
+# in the JSON so a gated/annotated headline is always auditable.
+MIN_PASSES = 3
+MAX_PASSES = 6
+SPREAD_GATE = 0.10
+
+
+def pass_spread(rates):
+    """max/min - 1 over the timed passes (0.0 = perfectly steady)."""
+    rates = [float(r) for r in rates]
+    return max(rates) / min(rates) - 1.0
+
+
+def timed_passes(run_one):
+    """Run ``run_one`` MIN_PASSES times, then keep sampling while the spread
+    exceeds SPREAD_GATE (bounded by MAX_PASSES). Returns the full pass list."""
+    rates = [run_one() for _ in range(MIN_PASSES)]
+    while pass_spread(rates) > SPREAD_GATE and len(rates) < MAX_PASSES:
+        log(f"[bench] pass spread {pass_spread(rates) * 100:.1f}% > "
+            f"{SPREAD_GATE * 100:.0f}% gate after {len(rates)} passes; "
+            f"sampling another")
+        rates.append(run_one())
+    return rates
+
+
 def bench_jax(om, t_train, x0, reps=200):
     from ndcn_tpu.utils.platform import enable_compile_cache
 
@@ -135,14 +164,10 @@ def bench_jax(om, t_train, x0, reps=200):
     log(f"[jax] nfe/solve={nfe}")
 
     n_chunks = max(1, reps // CHUNK)
-    # best of two timed passes: the axon TPU tunnel occasionally degrades
-    # 10x for a stretch (observed 1824 -> 149 steps/s across back-to-back
-    # runs), and the FASTER pass is the honest device capability. BOTH pass
-    # rates are recorded in the JSON (steps_per_sec_passes) so best-of-two
-    # cannot mask a genuine regression behind "the tunnel was slow".
-    pass_rates = []
-    for _pass in range(2):
+
+    def one_pass():
         succs = []
+        nonlocal p
         t0 = time.perf_counter()
         for _ in range(n_chunks):
             p, loss, _, s = train_chunk(p)
@@ -151,11 +176,18 @@ def bench_jax(om, t_train, x0, reps=200):
         dt = time.perf_counter() - t0
         assert all(bool(s) for s in succs), \
             "a timed chunk exhausted the snug step budget; measurement void"
-        pass_rates.append(n_chunks * CHUNK / dt)
+        return n_chunks * CHUNK / dt
+
+    # median of >=3 timed passes, retrying while the spread is wide: the axon
+    # tunnel occasionally degrades 10x+ for a stretch (observed 1824 -> 149
+    # steps/s across back-to-back runs), so a 2-pass max was fragile evidence
+    # of the steady state (VERDICT r3 weak #5). The full pass list rides in
+    # the JSON so no pass is ever silently discarded.
+    pass_rates = timed_passes(one_pass)
     # restore the AMBIENT precision (not blindly None — a user-configured
     # value must survive): bench_dgnn_epoch measures faster at the default
     jax.config.update("jax_default_matmul_precision", _prev_precision)
-    return max(pass_rates), nfe, pass_rates
+    return float(np.median(pass_rates)), nfe, pass_rates
 
 
 # -------------------------------------------------- reference torchdiffeq side
@@ -388,10 +420,8 @@ def bench_dgnn_epoch(n_epochs=12):
     params, opt_state, loss, _ = train_step(params, opt_state, key)
     logits, succ = jax.block_until_ready(eval_logits(params))
     assert np.isfinite(float(loss)) and bool(succ), "dgnn warmup failed"
-    # best of two timed passes (axon tunnel degradation, see bench_jax);
-    # both recorded in the JSON so the discard is visible
-    epoch_passes = []
-    for _pass in range(2):
+    def one_pass():
+        nonlocal params, opt_state, key
         t0 = time.perf_counter()
         losses, succs = [], []
         for _ in range(n_epochs):
@@ -408,8 +438,12 @@ def bench_dgnn_epoch(n_epochs=12):
         assert all(np.isfinite(float(l)) for l in losses) and \
             all(bool(s) for s in succs), \
             "a timed dgnn epoch exhausted the snug step budget; measurement void"
-        epoch_passes.append(dt)
-    return min(epoch_passes), epoch_passes
+        return 1.0 / dt  # epochs/s so timed_passes' spread gate reads the same way
+
+    # median-of->=3 protocol (see timed_passes): pass rates are epochs/s
+    epoch_rates = timed_passes(one_pass)
+    epoch_passes = [1.0 / r for r in epoch_rates]
+    return float(np.median(epoch_passes)), epoch_passes
 
 
 def wait_for_backend(max_wait_s=None):
@@ -522,6 +556,11 @@ def main():
         log(f"[dgnn] epoch bench unavailable: {e}")
         dgnn_epoch_s = dgnn_passes = None
 
+    spread = pass_spread(jax_passes)
+    if spread > SPREAD_GATE:
+        log(f"[bench] WARNING: pass spread {spread * 100:.1f}% still exceeds "
+            f"the {SPREAD_GATE * 100:.0f}% gate after {len(jax_passes)} "
+            f"passes — headline annotated, median reported")
     print(json.dumps({
         "metric": "dopri5 RHS evals/sec (heat-grid 400n NDCN train step, "
                   "fwd+bwd through solver)",
@@ -529,9 +568,12 @@ def main():
         "unit": "rhs_evals/s",
         "vs_baseline": round(vs, 2) if np.isfinite(vs) else None,
         "train_steps_per_sec": round(jax_steps_per_s, 2),
-        # both timed passes, so best-of-two (tunnel-degradation policy) can
-        # never hide a real regression behind the discarded pass
+        # value = MEDIAN of all timed passes; full list + spread recorded so
+        # a degraded-tunnel pass can never silently move the headline
         "steps_per_sec_passes": [round(r, 2) for r in jax_passes],
+        "pass_spread_pct": round(spread * 100, 1),
+        "spread_gate_pct": round(SPREAD_GATE * 100, 1),
+        "spread_ok": spread <= SPREAD_GATE,
         "nfe_per_solve": jax_nfe,
         "baseline": baseline,
         "baseline_steps_per_sec": (round(torch_steps_per_s, 2)
