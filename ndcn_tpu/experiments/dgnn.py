@@ -85,6 +85,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "'model'; on a single model, row-shard the operator "
                         "and features over 'model' (params replicated)")
     p.add_argument("--data_dir", type=str, default="data")
+    p.add_argument("--ckpt_dir", type=str, default=None,
+                   help="enable periodic checkpoint/resume in this directory "
+                        "(single-model path; the reference's 100-iter showcase "
+                        "run is ~11 min end to end and restarts from scratch "
+                        "without it)")
+    p.add_argument("--ckpt_freq", type=int, default=25,
+                   help="checkpoint every this many epochs (global step = "
+                        "iter*epochs + epoch, so resume lands mid-ITER too)")
     p.add_argument("--export", type=str, default=None, metavar="PATH",
                    help="after training, serialize the final model's full "
                         "compiled inference forward (terminal logits over "
@@ -109,6 +117,12 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         if args.mesh:
             raise SystemExit("--export produces a single-device serving "
                              "artifact (drop --mesh)")
+    if args.ckpt_dir and args.batch_iters:
+        # the vmapped sweep trains all replicas in one program; a snapshot
+        # would have to capture every bucket's stacked state mid-flight. The
+        # sweep's unit of recovery is the whole (short) program — rerun it.
+        raise SystemExit("--ckpt_dir needs the single-model path "
+                         "(drop --batch_iters)")
     from ndcn_tpu.utils.platform import force_platform, set_matmul_precision
     force_platform(args.platform)
     set_matmul_precision(args.precision)
@@ -601,27 +615,46 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     elastic = ElasticBudget(max_steps, enabled=budget_is_auto)
     snap_freq = 10
 
+    # --------------------------------------------------- checkpoint / resume
+    # Same subsystem as the dynamics driver (train/checkpoint.py; wiring at
+    # experiments/dynamics.py periodic_hooks). The global step is
+    # it·epochs + epoch, and the rng key + accumulated result rows ride in the
+    # checkpoint's extra dict, so a killed run resumes mid-ITER on the exact
+    # trajectory (same dropout/init streams) the uninterrupted run takes.
     rows = []
+    start_global = 0
+    if args.ckpt_dir:
+        from ndcn_tpu.train.checkpoint import restore_with_extra, save_checkpoint
+        params, opt_state, start_global, ckpt_extra = restore_with_extra(
+            args.ckpt_dir, params, opt_state)
+        if start_global:
+            if "key" in ckpt_extra:
+                key = jnp.asarray(ckpt_extra["key"])
+            rows = [tuple(r) for r in ckpt_extra.get("rows", [])]
+
     for it in range(args.iter):
+        g0 = it * args.epochs
+        if start_global >= g0 + args.epochs:
+            continue  # this ITER completed before the checkpoint (rows restored)
         t_start = time.time()
         pending = None  # (epoch, device stats, wall time) — printed one epoch late
         cand = None     # (cursor, key, state copy) awaiting validation
+        ckpt_cand = None  # same shape, promoted to DISK once validated
         # snapshot cursors are GLOBAL (it·epochs + epoch): the elastic retry
         # counter resets only when a snapshot lands strictly PAST the last
         # rollback point, so a per-iter epoch restarting at 0 would never
         # signal progress and max_retries would count rollbacks across the
         # whole multi-iter run instead of consecutive failures
-        g0 = it * args.epochs
-        elastic.snapshot(g0, key, (params, opt_state))
-        epoch = 0
+        epoch = max(0, start_global - g0)
+        elastic.snapshot(g0 + epoch, key, (params, opt_state))
 
         def drain_pending():
             """Validate the one-epoch-late stats (the FULL vector: the eval
             re-forward shares the snug budget, so a NaN val metric with a
             finite train loss is still exhaustion). Returns the epoch to
             resume from after a rollback, or None when healthy."""
-            nonlocal pending, cand, key, params, opt_state, sgd_step, \
-                epoch_step, eval_logits
+            nonlocal pending, cand, ckpt_cand, key, params, opt_state, \
+                sgd_step, epoch_step, eval_logits
             if pending is None:
                 return None
             failed_epoch, st_dev, dt = pending
@@ -634,7 +667,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                       f"max_steps={elastic.max_steps}", flush=True)
                 apply_new = make_apply(elastic.max_steps)
                 sgd_step, epoch_step, eval_logits = build_fns(apply_new)
-                pending = cand = None
+                pending = cand = ckpt_cand = None
                 return resume
             print_epoch(it, failed_epoch, st_np, dt)
             return None
@@ -645,6 +678,13 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                 if elastic.enabled and epoch % snap_freq == 0:
                     # async device copy; promoted below once validated
                     cand = (g0 + epoch, key, device_copy((params, opt_state)))
+                if args.ckpt_dir and (g0 + epoch) % args.ckpt_freq == 0:
+                    # disk candidate: holds the state (and rng key) ENTERING
+                    # this epoch; written only once the PRECEDING epoch's
+                    # stats prove finite, so a NaN-poisoned state (budget
+                    # exhaustion is detected one epoch late) never reaches disk
+                    ckpt_cand = (g0 + epoch, key,
+                                 device_copy((params, opt_state)))
                 key, rng = jax.random.split(key)
                 # train + eval re-forward + stats in ONE dispatch (build_fns)
                 params, opt_state, st_dev = epoch_step(params, opt_state, rng)
@@ -657,6 +697,12 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                 if cand is not None:
                     elastic.snapshot(*cand, copy=False)
                     cand = None
+                if ckpt_cand is not None:
+                    gstep, ckey, (cp, cs) = ckpt_cand
+                    save_checkpoint(args.ckpt_dir, gstep, cp, cs,
+                                    extra={"key": np.asarray(ckey),
+                                           "rows": [list(r) for r in rows]})
+                    ckpt_cand = None
                 pending = (epoch, st_dev, time.time() - t_epoch)
                 epoch += 1
             resume = drain_pending()
@@ -683,6 +729,13 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         if fout is not None:
             fout.write("{:.5f}\t{:.5f}\t{:.5f}\t{:.5f}\n".format(*rows[-1]))
             fout.flush()
+        if args.ckpt_dir and np.isfinite(loss_test):
+            # iter-boundary checkpoint: the completed ITER's row is durable, so
+            # an interruption between ITERs resumes at the next one (and a
+            # fully-finished run resumes past the loop entirely)
+            save_checkpoint(args.ckpt_dir, g0 + args.epochs, params, opt_state,
+                            extra={"key": np.asarray(key),
+                                   "rows": [list(r) for r in rows]})
 
     total = time.time() - t_very_beginning
     print("DONE!\nTotal time: {:.4f}s;\n".format(total))

@@ -74,11 +74,19 @@ def restore_or_init(ckpt_dir: Optional[str], params, opt_state):
     Restored leaves adopt the structure of the provided templates (so device
     placement / dtypes follow the fresh initialization).
     """
+    params, opt_state, step, _ = restore_with_extra(ckpt_dir, params, opt_state)
+    return params, opt_state, step
+
+
+def restore_with_extra(ckpt_dir: Optional[str], params, opt_state):
+    """restore_or_init that also hands back the checkpoint's ``extra`` dict
+    (drivers stash their rng key / accumulated result rows there so a resumed
+    run replays the exact trajectory the killed run would have taken)."""
     if not ckpt_dir:
-        return params, opt_state, 0
+        return params, opt_state, 0, {}
     path = latest_checkpoint(ckpt_dir)
     if path is None:
-        return params, opt_state, 0
+        return params, opt_state, 0, {}
     payload = load_checkpoint(path)
 
     def adopt(template, stored):
@@ -89,4 +97,4 @@ def restore_or_init(ckpt_dir: Optional[str], params, opt_state):
     if payload["opt_state"] is not None and opt_state is not None:
         opt_state = adopt(opt_state, payload["opt_state"])
     print(f"[checkpoint] resumed from {path} (step {payload['step']})")
-    return params, opt_state, payload["step"]
+    return params, opt_state, payload["step"], payload.get("extra", {})

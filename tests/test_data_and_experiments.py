@@ -97,6 +97,55 @@ def test_checkpoint_roundtrip(tmp_path):
     assert step2 == 0
 
 
+def test_dgnn_killed_and_resumed_matches_uninterrupted(tmp_path):
+    """dgnn --ckpt_dir: kill the run mid-ITER (simulated by pruning the newer
+    checkpoints), resume, and reach EXACTLY the uninterrupted run's accuracy —
+    the checkpoint carries params, opt state, the rng key, and completed rows,
+    so the resumed trajectory is the original one (VERDICT r3 next #4)."""
+    import os as _os
+
+    from ndcn_tpu.experiments.dgnn import build_parser, run
+    from ndcn_tpu.train import checkpoint as ckpt
+
+    base = ["--model", "differential_gcn", "--iter", "2", "--epochs", "4",
+            "--hidden", "8", "--seed", "7", "--T", "1.2", "--time_tick", "4",
+            "--method", "euler", "--dropout", "0.5",
+            "--data_dir", DATA_DIR, "--platform", "cpu"]
+
+    # uninterrupted reference (no checkpointing at all)
+    args_ref, _ = build_parser().parse_known_args(base)
+    rows_ref = run(args_ref)["rows"]
+
+    d = str(tmp_path / "dgnn_ckpt")
+    args_c, _ = build_parser().parse_known_args(
+        base + ["--ckpt_dir", d, "--ckpt_freq", "3"])
+    rows_full = run(args_c)["rows"]
+
+    # periodic saves at global epochs 0,3,6 + ITER boundaries 4,8; retention
+    # keeps the newest 3. Pruning >= 8 simulates a kill mid-ITER-2.
+    steps = sorted(ckpt.all_checkpoint_steps(d))
+    assert steps[-1] == 8  # final (all-ITERs-done) checkpoint landed
+    for s in steps:
+        if s >= 8:
+            _os.unlink(_os.path.join(d, f"ckpt_{s:08d}.pkl"))
+    assert max(ckpt.all_checkpoint_steps(d)) == 6  # mid-ITER-2 resume point
+
+    rows_resumed = run(args_c)["rows"]
+
+    # the resumed run must land on the uninterrupted trajectory exactly:
+    # same rng stream (key rides in the checkpoint), bitwise-restored state
+    assert len(rows_resumed) == len(rows_full) == len(rows_ref) == 2
+    for rr, rf in zip(rows_resumed, rows_ref):
+        np.testing.assert_allclose(rr[1], rf[1], rtol=1e-6)  # test loss
+        assert rr[2] == rf[2]                                # test accuracy
+
+    # and a fully-finished run resumes PAST the loop (no retraining): the
+    # final checkpoint restores the rows wholesale
+    rows_again = run(args_c)["rows"]
+    for ra, rf in zip(rows_again, rows_full):
+        assert ra[1] == rf[1] and ra[2] == rf[2]
+
+
 def test_checkpoint_retention(tmp_path):
     import jax.numpy as jnp
 
