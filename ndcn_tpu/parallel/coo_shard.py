@@ -30,19 +30,54 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ndcn_tpu.graph.sparse import CooGraph
 
 
+class ShardedCooTiles(NamedTuple):
+    """Per-device sliced-tile packings for the Pallas segment-sum kernel.
+
+    Row blocks of ``kernels.coo_spmv.CooTiles``, padded to the largest block's
+    slice count so every device runs the same static grid: pad slices carry
+    first=0 / val=0 and point at the LAST local tile (the grid's resident
+    output block at that point), so they accumulate exactly zero without an
+    extra HBM round trip. ``rows_per`` is each device's true output row count;
+    ``n_pad_local`` its R-padded version (identical across devices)."""
+    tile_of: jnp.ndarray     # (p, S) int32
+    first: jnp.ndarray       # (p, S) int32
+    local_rows: jnp.ndarray  # (p, S*E) int32, row - tile*R within the block
+    cols: jnp.ndarray        # (p, S*E) int32 — GLOBAL column indices
+    vals: jnp.ndarray        # (p, S*E) float32
+    rows_per: int            # true rows per device block
+    n_pad_local: int         # rows_per rounded up to a multiple of R
+    R: int
+    E: int
+
+
+jax.tree_util.register_pytree_node(
+    ShardedCooTiles,
+    lambda t: ((t.tile_of, t.first, t.local_rows, t.cols, t.vals),
+               (t.rows_per, t.n_pad_local, t.R, t.E)),
+    lambda aux, ch: ShardedCooTiles(*ch, *aux),
+)
+
+
 class RowShardedCoo(NamedTuple):
     """COO edges grouped into per-device row blocks (A and Aᵀ packings).
 
     ``local_rows`` are row indices relative to the owning block's first row, so
     each device's segment-sum is over its local row count only. The mesh, axis
     name and (padded) node counts are static aux data — they shape the program.
-    """
+
+    ``tiles``/``tiles_t`` optionally carry per-device Pallas tile packings
+    (ShardedCooTiles): on TPU the sharded matvec then runs the scatter-free
+    sliced-tile MXU kernel per device instead of the XLA gather+segment_sum
+    formulation, which measured scatter-bound at ~98M rows/s (docs/PARITY.md:
+    31.8 ms vs 9.47 ms per SpMV at 200k nodes / 2.2M edges)."""
     local_rows: jnp.ndarray  # (p, m) int32, row - block_start
     cols: jnp.ndarray        # (p, m) int32
     vals: jnp.ndarray        # (p, m) float
     local_rows_t: Optional[jnp.ndarray]  # (p, mt) row blocks of Aᵀ
     cols_t: Optional[jnp.ndarray]
     vals_t: Optional[jnp.ndarray]
+    tiles: Optional[ShardedCooTiles]
+    tiles_t: Optional[ShardedCooTiles]
     n: int                   # true node count
     n_pad: int               # node count padded to a multiple of p
     axis: str                # mesh axis the row blocks shard over
@@ -54,6 +89,11 @@ class RowShardedCoo(NamedTuple):
 
     def _matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         """A @ X for X of shape (n, d); returns (n, d), rows sharded over axis."""
+        from ndcn_tpu.graph.sparse import use_tiled_kernel
+
+        if (self.tiles is not None and x.ndim == 2 and x.shape[1] > 1
+                and use_tiled_kernel()):
+            return _rs_tiled_matvec(self, x)
         if self.local_rows_t is not None:
             return _rs_coo_matvec(self, x)
         return _rs_apply(self, self.local_rows, self.cols, self.vals, x)
@@ -62,7 +102,7 @@ class RowShardedCoo(NamedTuple):
 jax.tree_util.register_pytree_node(
     RowShardedCoo,
     lambda g: ((g.local_rows, g.cols, g.vals,
-                g.local_rows_t, g.cols_t, g.vals_t),
+                g.local_rows_t, g.cols_t, g.vals_t, g.tiles, g.tiles_t),
                (g.n, g.n_pad, g.axis, g.mesh)),
     lambda aux, children: RowShardedCoo(*children, *aux),
 )
@@ -91,6 +131,46 @@ def _rs_apply(op: RowShardedCoo, lr, cc, vv, x: jnp.ndarray) -> jnp.ndarray:
     return y[: op.n]
 
 
+def _rs_tiled_apply(op: RowShardedCoo, st: ShardedCooTiles,
+                    x: jnp.ndarray) -> jnp.ndarray:
+    """shard_map over the per-device Pallas sliced-tile SpMV: each device runs
+    kernels/coo_spmv's scatter-free MXU reduction on its row block against the
+    replicated X (columns are global indices), and the row-sharded results
+    concatenate along the mesh axis with no collective — the same layout as
+    ``_rs_apply`` with the kernel replacing the XLA segment-sum."""
+    from ndcn_tpu.kernels.coo_spmv import CooTiles, tiled_spmv_raw
+
+    if op.n_pad != op.n:
+        x = jnp.pad(x, ((0, op.n_pad - op.n), (0, 0)))
+
+    def local_spmv(tile_of, first, lr, cc, vv, x_full):
+        # leading (1, ...) device axis stripped; static fields off ``st``
+        tiles = CooTiles(tile_of=tile_of[0], first=first[0],
+                         local_rows=lr[0], cols=cc[0], vals=vv[0],
+                         n=st.rows_per, n_pad=st.n_pad_local, R=st.R, E=st.E)
+        return tiled_spmv_raw(tiles, x_full)
+
+    y = jax.shard_map(
+        local_spmv, mesh=op.mesh,
+        in_specs=(P(op.axis, None),) * 5 + (P(None, None),),
+        out_specs=P(op.axis, None),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation, so
+        # the vma checker cannot see through it; every operand/output spec
+        # here is explicit, which is exactly what the check would verify
+        check_vma=False,
+    )(st.tile_of, st.first, st.local_rows, st.cols, st.vals, x)
+    return y[: op.n]
+
+
+def _poison_rs(op: RowShardedCoo) -> RowShardedCoo:
+    """NaN-poisoned operator cotangent mirroring the FULL pytree (incl. any
+    ShardedCooTiles): the operator is a constant, and a learned-sparse-operator
+    model differentiating through it must fail loudly (graph.sparse policy)."""
+    from ndcn_tpu.graph.sparse import _nan_cotangent
+
+    return jax.tree_util.tree_map(_nan_cotangent, op)
+
+
 @jax.custom_vjp
 def _rs_coo_matvec(op: RowShardedCoo, x: jnp.ndarray) -> jnp.ndarray:
     """Sharded A·X whose backward runs the Aᵀ row-block packing (sorted local
@@ -105,19 +185,31 @@ def _rs_fwd(op, x):
 
 
 def _rs_bwd(op, g):
-    from ndcn_tpu.graph.sparse import _nan_cotangent
-
     dx = _rs_apply(op, op.local_rows_t, op.cols_t, op.vals_t, g)
-    dop = RowShardedCoo(
-        local_rows=_nan_cotangent(op.local_rows),
-        cols=_nan_cotangent(op.cols), vals=_nan_cotangent(op.vals),
-        local_rows_t=_nan_cotangent(op.local_rows_t),
-        cols_t=_nan_cotangent(op.cols_t), vals_t=_nan_cotangent(op.vals_t),
-        n=op.n, n_pad=op.n_pad, axis=op.axis, mesh=op.mesh)
-    return dop, dx
+    return _poison_rs(op), dx
 
 
 _rs_coo_matvec.defvjp(_rs_fwd, _rs_bwd)
+
+
+@jax.custom_vjp
+def _rs_tiled_matvec(op: RowShardedCoo, x: jnp.ndarray) -> jnp.ndarray:
+    """Sharded tiled A·X: forward and backward both run the per-device Pallas
+    kernel (backward over the Aᵀ tile packing — sorted and scatter-free on
+    every device, matching the single-chip CooGraph.tiles design)."""
+    return _rs_tiled_apply(op, op.tiles, x)
+
+
+def _rst_fwd(op, x):
+    return _rs_tiled_apply(op, op.tiles, x), op
+
+
+def _rst_bwd(op, g):
+    dx = _rs_tiled_apply(op, op.tiles_t, g)
+    return _poison_rs(op), dx
+
+
+_rs_tiled_matvec.defvjp(_rst_fwd, _rst_bwd)
 
 
 def _pack_row_blocks(rows, cols, vals, p: int, rows_per: int):
@@ -140,14 +232,61 @@ def _pack_row_blocks(rows, cols, vals, p: int, rows_per: int):
     return lr, cc, vv
 
 
-def shard_coo_rows(coo: CooGraph, mesh: Mesh, axis: str = "model"
-                   ) -> RowShardedCoo:
+def _pack_tile_blocks(rows, cols, vals, p: int, rows_per: int,
+                      R: int, E: int, put) -> ShardedCooTiles:
+    """Per-device CooTiles packings, padded to a common slice count.
+
+    Each block's row-sorted triplets (rows made block-relative) go through
+    ``kernels.coo_spmv.pack_tiles``; blocks with fewer slices pad with
+    zero-valued slices pointed at the LAST local tile with first=0 (they add
+    exactly zero and keep the resident output block resident)."""
+    from ndcn_tpu.kernels.coo_spmv import pack_tiles
+
+    owner = rows // rows_per
+    per = []
+    for b in range(p):
+        sel = owner == b
+        per.append(pack_tiles(rows[sel] - b * rows_per,
+                              cols[sel], vals[sel].astype(np.float32),
+                              rows_per, tile_rows=R, slice_edges=E))
+    S_max = max(t.tile_of.shape[0] for t in per)
+    n_pad_local = per[0].n_pad
+    T_local = n_pad_local // R
+    tile_of = np.full((p, S_max), T_local - 1, np.int32)
+    first = np.zeros((p, S_max), np.int32)
+    lr = np.zeros((p, S_max * E), np.int32)
+    cc = np.zeros((p, S_max * E), np.int32)
+    vv = np.zeros((p, S_max * E), np.float32)
+    for b, t in enumerate(per):
+        s_b = t.tile_of.shape[0]
+        tile_of[b, :s_b] = np.asarray(t.tile_of)
+        first[b, :s_b] = np.asarray(t.first)
+        lr[b, : s_b * E] = np.asarray(t.local_rows)
+        cc[b, : s_b * E] = np.asarray(t.cols)
+        vv[b, : s_b * E] = np.asarray(t.vals)
+    return ShardedCooTiles(tile_of=put(tile_of), first=put(first),
+                           local_rows=put(lr), cols=put(cc), vals=put(vv),
+                           rows_per=rows_per, n_pad_local=n_pad_local,
+                           R=R, E=E)
+
+
+def shard_coo_rows(coo: CooGraph, mesh: Mesh, axis: str = "model",
+                   tiled: Optional[bool] = None,
+                   tile_rows: Optional[int] = None,
+                   slice_edges: Optional[int] = None) -> RowShardedCoo:
     """Host-side packer: split a (row-sorted) CooGraph into p equal row blocks.
 
     Rows pad up to a multiple of p; each block's edge list pads to the largest
     block with zero-valued (local_row, col=0) entries, which contribute 0. When
     the CooGraph carries transpose triplets (``*_t``), Aᵀ is packed the same
-    way so the backward runs sorted on every device."""
+    way so the backward runs sorted on every device.
+
+    ``tiled`` (None = follow the CooGraph: shard its Pallas tile packing iff it
+    carries one) additionally packs per-device ShardedCooTiles so the TPU
+    matvec runs the scatter-free sliced-tile kernel per device; ``tile_rows``/
+    ``slice_edges`` override the tile geometry (defaults follow the CooGraph's
+    packing, else the kernel's tuned R/E — tests shrink them to cover
+    multi-slice/multi-tile layouts on tiny graphs)."""
     p = int(mesh.shape[axis])
     n = coo.n
     n_pad = -(-n // p) * p
@@ -162,7 +301,26 @@ def shard_coo_rows(coo: CooGraph, mesh: Mesh, axis: str = "model"
             np.asarray(coo.rows_t), np.asarray(coo.cols_t),
             np.asarray(coo.vals_t), p, rows_per)
         lr_t, cc_t, vv_t = put(lr_t), put(cc_t), put(vv_t)
+    if tiled is None:
+        tiled = coo.tiles is not None
+    tiles = tiles_t = None
+    if tiled:
+        if coo.rows_t is None:
+            raise ValueError("tiled sharded COO needs the transpose triplets "
+                             "(build the CooGraph via from_scipy_coo)")
+        from ndcn_tpu.kernels import coo_spmv as _ck
+
+        R = tile_rows or (coo.tiles.R if coo.tiles is not None else _ck.R_TILE)
+        E = slice_edges or (coo.tiles.E if coo.tiles is not None
+                            else _ck.E_SLICE)
+        tiles = _pack_tile_blocks(
+            np.asarray(coo.rows), np.asarray(coo.cols), np.asarray(coo.vals),
+            p, rows_per, R, E, put)
+        tiles_t = _pack_tile_blocks(
+            np.asarray(coo.rows_t), np.asarray(coo.cols_t),
+            np.asarray(coo.vals_t), p, rows_per, R, E, put)
     return RowShardedCoo(
         local_rows=put(lr), cols=put(cc), vals=put(vv),
         local_rows_t=lr_t, cols_t=cc_t, vals_t=vv_t,
+        tiles=tiles, tiles_t=tiles_t,
         n=n, n_pad=n_pad, axis=axis, mesh=mesh)
