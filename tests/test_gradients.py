@@ -120,10 +120,10 @@ def test_grad_through_loss_on_full_trajectory():
 # --------------------------------------------------------- reference grad parity
 
 
-def _load_grad_fixture():
+def _load_grad_fixture(name="ndcn_grads_grid400"):
     import os
     fix = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures",
-                       "ndcn_grads_grid400.npz")
+                       name + ".npz")
     return dict(np.load(fix))
 
 
@@ -175,3 +175,29 @@ def test_ndcn_gradient_parity_vs_reference(mode):
         gb = np.asarray(grads[name]["b"])
         assert _rel_l1(gw, f[f"g_{name}_w_{mode}"]) < 1e-3, name
         assert _rel_l1(gb, f[f"g_{name}_b_{mode}"]) < 1e-3, name
+
+
+def test_ndcn_gradient_parity_vs_reference_euler():
+    """Same flagship l1 loss, but down the EULER path — the dynamics scripts'
+    default method (heat_dynamics.py:22): fixed-grid steps over the requested
+    grid itself (solvers.py:51), gradients by backprop through those steps.
+    Fixture generated by the reference at the same frozen weights as the
+    dopri5 one (tools/make_parity_fixtures.py §7b)."""
+    from ndcn_tpu.models import ndcn_forward
+
+    f = _load_grad_fixture("ndcn_grads_grid400_euler")
+    op, params, x0, vt, target = _grad_fixture_problem(f)
+
+    def loss_fn(p):
+        out, _ = ndcn_forward(p, op, vt, x0, method="euler")
+        return jnp.mean(jnp.abs(out[..., 0].T - target))
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert abs(float(loss) - float(f["loss_backprop"])) / abs(
+        float(f["loss_backprop"])) < 1e-4
+
+    for name in ("enc1", "enc2", "wt", "dec"):
+        gw = np.asarray(grads[name]["w"]).T
+        gb = np.asarray(grads[name]["b"])
+        assert _rel_l1(gw, f[f"g_{name}_w_backprop"]) < 1e-3, name
+        assert _rel_l1(gb, f[f"g_{name}_b_backprop"]) < 1e-3, name

@@ -181,14 +181,14 @@ def main():
         def forward(self, t, h):
             return torch.relu(self.wt(om_t @ h))
 
-    def run(adjoint):
+    def run(adjoint, method="dopri5"):
         for m in (g_enc1, g_enc2, g_wt, g_dec):
             m.zero_grad()
         odefunc = GradOdeF()
         h0 = g_enc2(torch.tanh(g_enc1(x0)))
         solve = ode.odeint_adjoint if adjoint else ode.odeint
         traj = solve(odefunc, h0, t_grad, rtol=0.01, atol=0.001,
-                     method="dopri5")
+                     method=method)
         out = g_dec(traj)
         loss = F.l1_loss(out.squeeze().t(), target)
         loss.backward()
@@ -213,7 +213,21 @@ def main():
         **{k + "_backprop": v for k, v in grads_bp.items()},
         **{k + "_adjoint": v for k, v in grads_adj.items()})
 
+    # ---- 7b. euler-path gradients: the DYNAMICS-SCRIPT DEFAULT method --------
+    # heat_dynamics.py:22 defaults --method euler; the fixed-grid solver steps
+    # the requested grid itself (solvers.py:51) and gradients flow by backprop
+    # through those steps. Same frozen weights as the dopri5 fixture.
+    loss_eu, grads_eu = run(adjoint=False, method="euler")
+    fixtures["ndcn_grads_grid400_euler"] = dict(
+        t=t_grad.numpy(), x0=x0.numpy(), target=target.numpy(),
+        loss_backprop=np.float64(loss_eu),
+        **weights,
+        **{k + "_backprop": v for k, v in grads_eu.items()})
+
+    only = set(sys.argv[1:])  # regenerate selectively: argv names filter writes
     for name, data in fixtures.items():
+        if only and name not in only:
+            continue
         np.savez_compressed(os.path.join(OUT, name + ".npz"), **data)
         print("wrote", name, {k: np.asarray(v).shape for k, v in data.items()})
 
