@@ -28,6 +28,16 @@ def build_parser() -> argparse.ArgumentParser:
                    default=[0.0, 0.25, 0.5, 0.75, 1.0])
     p.add_argument("--out_csv", type=str, default="results/t_alpha_grid.csv")
     p.add_argument("--heatmap", action="store_true")
+    p.add_argument("--surface", action="store_true",
+                   help="3-D accuracy surface over the T x alpha grid "
+                        "(reference plot_time_and_alpha.py:90-143)")
+    p.add_argument("--errorbar", action="store_true",
+                   help="2-D accuracy-vs-T errorbar curve at one alpha "
+                        "(reference plot_time_and_alpha.py:146-172)")
+    p.add_argument("--errorbar_alpha", type=float, default=None,
+                   help="alpha column for --errorbar (default: the column "
+                        "with the best mean accuracy — the reference "
+                        "hardcodes per-dataset best columns)")
     return p
 
 
@@ -37,6 +47,7 @@ def main(argv=None):
     from ndcn_tpu.experiments.dgnn import run
 
     grid = np.zeros((len(args.T_values), len(args.alpha_values)))
+    grid_std = np.zeros_like(grid)  # 0 for single-replica cells
     for i, t_val in enumerate(args.T_values):
         for j, alpha in enumerate(args.alpha_values):
             cell_args = copy.deepcopy(args)
@@ -47,6 +58,7 @@ def main(argv=None):
             # multi-replica runs (--batch_iters / --iter > 1) report the mean
             # accuracy; rows[-1][2] would be one arbitrary replica's number
             grid[i, j] = out.get("acc_mean") or out["rows"][-1][2]
+            grid_std[i, j] = out.get("acc_std") or 0.0
             print(f"[sweep] T={t_val} alpha={alpha} acc={grid[i, j]:.4f}",
                   flush=True)
 
@@ -77,6 +89,56 @@ def main(argv=None):
             print(f"[sweep] wrote {args.out_csv.replace('.csv', '.png')}")
         except Exception as e:  # pragma: no cover
             print(f"[sweep] heatmap skipped: {e}")
+
+    if args.surface:
+        # 3-D accuracy surface over the grid (the reference's
+        # plot_acc_time_alpha_3d, plot_time_and_alpha.py:90-143, drawn from
+        # the in-memory sweep instead of a scraped .npy)
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig = plt.figure()
+            ax = fig.add_subplot(projection="3d")
+            alpha_m, t_m = np.meshgrid(args.alpha_values, args.T_values)
+            surf = ax.plot_surface(alpha_m, t_m, grid, cmap="rainbow",
+                                   linewidth=0, antialiased=False)
+            fig.colorbar(surf, shrink=0.5, aspect=5)
+            ax.set_xlabel("Alpha")
+            ax.set_ylabel("Terminal Time")
+            ax.set_zlabel("Accuracy")
+            path = args.out_csv.replace(".csv", "_3d.png")
+            fig.savefig(path)
+            print(f"[sweep] wrote {path}")
+        except Exception as e:  # pragma: no cover
+            print(f"[sweep] surface skipped: {e}")
+
+    if args.errorbar:
+        # accuracy vs T at one alpha with std error bars (the reference's
+        # plot_acc_time_alpha_2d, plot_time_and_alpha.py:146-172; it hardcodes
+        # each dataset's best alpha column — default here picks it by mean)
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            if args.errorbar_alpha is not None:
+                j = int(np.argmin(np.abs(np.asarray(args.alpha_values)
+                                         - args.errorbar_alpha)))
+            else:
+                j = int(np.argmax(grid.mean(axis=0)))
+            fig, ax = plt.subplots()
+            ax.errorbar(args.T_values, grid[:, j], yerr=grid_std[:, j],
+                        fmt="-sk", linewidth=2, markersize=10)
+            ax.set_xlabel("Terminal Time", fontsize=14)
+            ax.set_ylabel("Accuracy", fontsize=14)
+            ax.set_title(f"{args.dataset} (alpha={args.alpha_values[j]})")
+            path = args.out_csv.replace(".csv", "_errorbar.png")
+            fig.savefig(path)
+            print(f"[sweep] wrote {path}")
+        except Exception as e:  # pragma: no cover
+            print(f"[sweep] errorbar skipped: {e}")
     return grid
 
 

@@ -146,6 +146,23 @@ def test_dgnn_killed_and_resumed_matches_uninterrupted(tmp_path):
         assert ra[1] == rf[1] and ra[2] == rf[2]
 
 
+def test_sweep_t_alpha_figures(tmp_path):
+    """The T x alpha sweep writes the CSV plus all three reference figure
+    variants: heatmap, 3-D surface, 2-D errorbar (plot_time_and_alpha.py
+    :90-203)."""
+    from ndcn_tpu.experiments.sweep_t_alpha import main
+
+    out_csv = str(tmp_path / "grid.csv")
+    grid = main(["--T_values", "0.6", "1.2", "--alpha_values", "0", "1.0",
+                 "--epochs", "1", "--hidden", "8", "--time_tick", "4",
+                 "--method", "euler", "--dropout", "0", "--platform", "cpu",
+                 "--data_dir", DATA_DIR, "--out_csv", out_csv,
+                 "--heatmap", "--surface", "--errorbar"])
+    assert grid.shape == (2, 2) and np.all(np.isfinite(grid))
+    for suffix in (".csv", ".png", "_3d.png", "_errorbar.png"):
+        assert os.path.exists(out_csv.replace(".csv", suffix)), suffix
+
+
 def test_checkpoint_retention(tmp_path):
     import jax.numpy as jnp
 
