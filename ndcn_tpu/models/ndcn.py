@@ -177,10 +177,19 @@ def _feature_major_ok(op, h, no_graph, no_control, dropout, fused) -> bool:
     the (n, d) layout — the SpMV is bound by the XLA gather's row rate
     (~560M rows/s), and the padded elementwise traffic the transposed state
     would save hides under it — so 'auto' keeps 'nd' and its reference
-    error-norm semantics. The layout stays available explicitly."""
+    error-norm semantics. The layout stays available explicitly.
+
+    A tile-packed RowShardedCoo qualifies too: the feature-major solve then
+    composes with the mesh — per-device kernel row blocks, (d_sub, n) state
+    column-sharded over the model axis (parallel/coo_shard.rs_spmv_T)."""
     from ndcn_tpu.graph.sparse import CooGraph, use_tiled_kernel
 
-    return (isinstance(op, CooGraph) and op.tiles is not None
+    tiled = isinstance(op, CooGraph) and op.tiles is not None
+    if not tiled:
+        from ndcn_tpu.parallel.coo_shard import RowShardedCoo
+
+        tiled = isinstance(op, RowShardedCoo) and op.tiles is not None
+    return (tiled
             and not (no_graph or no_control or dropout > 0.0 or fused)
             and h.ndim == 2 and h.shape[1] > 1 and h.shape[1] % 128 != 0
             and use_tiled_kernel())
@@ -193,15 +202,21 @@ def ode_func_T(params: Dict[str, Any], op, t, hT,
     relu((A h) W + b) transposes to relu(Wᵀ (A h)ᵀ + b[:, None]); the SpMV
     runs the tiled kernel natively (no per-eval transposes) and every
     intermediate keeps the huge node dim minor. Zero pad rows stay zero:
-    Wᵀ_pad has zero pad rows and b pads with zeros, so relu leaves them 0."""
+    Wᵀ_pad has zero pad rows and b pads with zeros, so relu leaves them 0.
+
+    A RowShardedCoo operator routes the SpMV through the sharded feature-major
+    kernel (parallel/coo_shard.rs_spmv_T): same math, output column-sharded
+    over the mesh's model axis."""
     from jax.ad_checkpoint import checkpoint_name
 
     from ndcn_tpu.kernels.coo_spmv import spmv_T
+    from ndcn_tpu.parallel.coo_shard import RowShardedCoo, rs_spmv_T
 
     d_sub = hT.shape[0]
     w = params["wt"]["w"]
     d = w.shape[0]
-    ahT = spmv_T(op.tiles, op.tiles_t, hT)
+    ahT = (rs_spmv_T(op, hT) if isinstance(op, RowShardedCoo)
+           else spmv_T(op.tiles, op.tiles_t, hT))
     # bf16 residual save: see ode_func — the saved tensor is the rounded one,
     # so fwd and bwd consume identical values
     ahT = checkpoint_name(ahT if residual_dtype is None

