@@ -101,6 +101,10 @@ def main(argv=None):
                     help="row-shard the operator and node-major arrays over "
                          "all visible devices ('model' axis); prints a "
                          "sharded-vs-unsharded first-step parity delta")
+    ap.add_argument("--out", type=str, default=None,
+                    help="also write the result JSON (plus the argv) to this "
+                         "path — the committed scale records under results/ "
+                         "are produced this way (tools/bench_scale.py)")
     from ndcn_tpu.utils.platform import add_platform_flag
     add_platform_flag(ap)
     args = ap.parse_args(argv)
@@ -445,7 +449,17 @@ def main(argv=None):
         "training diverged or exhausted the step budget"
     assert np.isfinite(relf)
 
-    print(json.dumps({
+    # HBM high-water (device allocator peak): the measured check on the
+    # --estimate prediction. Not every backend exposes memory_stats.
+    hbm_peak_gb = None
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and stats.get("peak_bytes_in_use"):
+            hbm_peak_gb = round(stats["peak_bytes_in_use"] / 1e9, 2)
+    except Exception:
+        pass
+
+    record = {
         "n_nodes": n, "nnz": int(adj.nnz),
         "train_steps_per_sec": round(steps_per_s, 2),
         "node_evals_per_sec": round(steps_per_s * probe_nfe[0] * n, 0),
@@ -456,7 +470,19 @@ def main(argv=None):
         "elastic_rollbacks": int(elastic.total_rollbacks),
         "mesh_devices": len(jax.devices()) if args.mesh else 1,
         "mesh_parity": mesh_parity,
-    }))
+        "hbm_peak_gb": hbm_peak_gb,
+        "layout": args.layout,
+        "kernel_precision": args.kernel_precision,
+        "emission_precision": args.emission_precision,
+        "residual_precision": args.residual_precision,
+        "iters": args.iters, "hidden": args.hidden,
+    }
+    print(json.dumps(record))
+    if args.out:
+        from ndcn_tpu.utils.io import atomic_write
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        atomic_write(args.out, json.dumps(
+            {**record, "argv": sys.argv[1:]}, indent=1).encode())
     return relf, rel0
 
 
