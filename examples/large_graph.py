@@ -91,6 +91,11 @@ def main(argv=None):
                          "loaded if present (caller owns key uniqueness — "
                          "the file stores n/deg/dynamics/seed and mismatches "
                          "are rejected). The 1M-node CPU solve takes ~15 min")
+    ap.add_argument("--gt_only", action="store_true",
+                    help="compute (and --gt_cache) the ground-truth trajectory "
+                         "then exit — precompute the ~15 min 1M-node CPU solve "
+                         "once, so the TPU training run starts instantly. Run "
+                         "with --platform cpu; requires --gt_cache")
     ap.add_argument("--estimate", action="store_true",
                     help="print the shape-derived HBM breakdown of the train "
                          "step (emissions, saved residuals, tiles, data) for "
@@ -265,6 +270,14 @@ def main(argv=None):
         print(f"ground truth: {int(gt_stats.nfe)} RHS evals in {gt_s:.2f}s "
               f"({int(gt_stats.nfe) * n / gt_s:,.0f} node-evals/s)",
               file=sys.stderr)
+    if args.gt_only:
+        if not args.gt_cache:
+            raise SystemExit("--gt_only without --gt_cache computes a "
+                             "trajectory nobody keeps; pass --gt_cache")
+        print(json.dumps({"gt_only": True, "gt_cache": args.gt_cache,
+                          "ground_truth_s": round(gt_s, 2), "n_nodes": n,
+                          "cached": cached is not None}))
+        return None, None
     target = truth[jnp.asarray(splits.id_train)]
     # free the full-trajectory device copy and the physics alias so the
     # dropped triplets below are actually collectable
