@@ -407,14 +407,33 @@ def main(argv=None):
 
         def step(p, s, k):
             return wrapped(p, s, k, fl, x0, target)
-        return step
+
+        def footprint(p, s, k):
+            # Compile-time HBM reservation of the train-step program — the
+            # measured check on --estimate. args = residents (params, opt
+            # state, tiles, x0, target), temp = in-step transients (emission
+            # buffers, remat-saved SpMV outputs, solver carry). The axon
+            # backend exposes no allocator peak (memory_stats() is None), so
+            # the XLA buffer-assignment total is the honest device-side
+            # number; the persistent compile cache makes the re-lower cheap.
+            try:
+                ma = wrapped.lower(p, s, k, fl, x0, target).compile() \
+                    .memory_analysis()
+                if ma is None:
+                    return None
+                live = (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                        + ma.output_size_in_bytes - ma.alias_size_in_bytes)
+                return round(live / 1e9, 2)
+            except Exception:
+                return None
+        return step, footprint
 
     # rollback-and-regrow protection for the snug budget (train/elastic.py):
     # snapshot at finite-loss boundaries; a NaN loss rolls back, doubles the
     # budget, recompiles, and deterministically replays (same rng stream)
     from ndcn_tpu.train.elastic import ElasticBudget
     elastic = ElasticBudget(max_steps, enabled=True)
-    step = build_step(elastic.max_steps)
+    step, footprint = build_step(elastic.max_steps)
 
     key = jax.random.PRNGKey(1)
     elastic.snapshot(0, key, (params, opt_state))
@@ -426,12 +445,16 @@ def main(argv=None):
             _, key, (params, opt_state) = elastic.rollback()
             print(f"[elastic] first step exhausted the budget; regrown to "
                   f"max_steps={elastic.max_steps}", file=sys.stderr)
-            step = build_step(elastic.max_steps)
+            step, footprint = build_step(elastic.max_steps)
             continue
         break
     print(f"train step compiled+first in {time.time() - c_t0:.1f}s; "
           f"initial rel loss {float(rel):.4f}", file=sys.stderr)
     rel0 = float(rel)
+    hbm_program_gb = footprint(params, opt_state, key)
+    if hbm_program_gb is not None:
+        print(f"train-step program HBM: {hbm_program_gb} GB "
+              f"(XLA buffer assignment: args + temps + out)", file=sys.stderr)
     elastic.snapshot(0, key, (params, opt_state))
 
     check_freq = 10
@@ -448,7 +471,7 @@ def main(argv=None):
                 print(f"[elastic] budget exhausted by iter {prev}; rolled "
                       f"back to iter {i} with max_steps={elastic.max_steps}",
                       file=sys.stderr)
-                step = build_step(elastic.max_steps)
+                step, footprint = build_step(elastic.max_steps)
                 continue
             elastic.snapshot(i, key, (params, opt_state))
     jax.block_until_ready(loss)
@@ -484,6 +507,7 @@ def main(argv=None):
         "mesh_devices": len(jax.devices()) if args.mesh else 1,
         "mesh_parity": mesh_parity,
         "hbm_peak_gb": hbm_peak_gb,
+        "hbm_program_gb": hbm_program_gb,
         "layout": args.layout,
         "kernel_precision": args.kernel_precision,
         "emission_precision": args.emission_precision,
