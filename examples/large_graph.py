@@ -423,7 +423,11 @@ def main(argv=None):
                     return None
                 live = (ma.argument_size_in_bytes + ma.temp_size_in_bytes
                         + ma.output_size_in_bytes - ma.alias_size_in_bytes)
-                return round(live / 1e9, 2)
+                return {"total_gb": round(live / 1e9, 2),
+                        "args_gb": round(ma.argument_size_in_bytes / 1e9, 2),
+                        "temp_gb": round(ma.temp_size_in_bytes / 1e9, 2),
+                        "out_gb": round(ma.output_size_in_bytes / 1e9, 2),
+                        "alias_gb": round(ma.alias_size_in_bytes / 1e9, 2)}
             except Exception:
                 return None
         return step, footprint
@@ -451,10 +455,6 @@ def main(argv=None):
     print(f"train step compiled+first in {time.time() - c_t0:.1f}s; "
           f"initial rel loss {float(rel):.4f}", file=sys.stderr)
     rel0 = float(rel)
-    hbm_program_gb = footprint(params, opt_state, key)
-    if hbm_program_gb is not None:
-        print(f"train-step program HBM: {hbm_program_gb} GB "
-              f"(XLA buffer assignment: args + temps + out)", file=sys.stderr)
     elastic.snapshot(0, key, (params, opt_state))
 
     check_freq = 10
@@ -485,6 +485,18 @@ def main(argv=None):
         "training diverged or exhausted the step budget"
     assert np.isfinite(relf)
 
+    # Compile-time HBM reservation — AFTER the timed loop: the re-lowered
+    # executable's device arena can coexist with (and at million-node scale
+    # evict) the training program's, which was measured to depress the timed
+    # steps/s 0.16 -> 0.06 at 1M nodes when this ran before the loop.
+    hbm = footprint(params, opt_state, key)
+    hbm_program_gb = hbm["total_gb"] if hbm else None
+    if hbm is not None:
+        print(f"train-step program HBM: {hbm['total_gb']} GB "
+              f"(XLA buffer assignment: args {hbm['args_gb']} + temps "
+              f"{hbm['temp_gb']} + out {hbm['out_gb']} - alias "
+              f"{hbm['alias_gb']})", file=sys.stderr)
+
     # HBM high-water (device allocator peak): the measured check on the
     # --estimate prediction. Not every backend exposes memory_stats.
     hbm_peak_gb = None
@@ -508,6 +520,7 @@ def main(argv=None):
         "mesh_parity": mesh_parity,
         "hbm_peak_gb": hbm_peak_gb,
         "hbm_program_gb": hbm_program_gb,
+        "hbm_breakdown_gb": hbm,
         "layout": args.layout,
         "kernel_precision": args.kernel_precision,
         "emission_precision": args.emission_precision,
