@@ -388,8 +388,11 @@ def main(argv=None):
     # solver's gradient guard — jax.closure_convert hoists only inexact
     # tracers, so an int tracer captured in a remat'd cond branch fails to
     # lower ("No constant handler for DynamicJaxprTracer").
-    # RowShardedCoo (the --mesh path) has no tile packing — only the tiled
-    # single-device operator carries the big float leaves worth hoisting
+    # Works for both operator kinds: the single-device CooGraph and the
+    # --mesh RowShardedCoo each carry a .tiles/.tiles_t packing with a big
+    # float .vals leaf when tiled (coo_shard.ShardedCooTiles shards the
+    # packing per device), and both are NamedTuples so the same _replace
+    # hoist applies
     has_tiles = getattr(model_op, "tiles", None) is not None
 
     def build_step(ms):

@@ -39,6 +39,15 @@ def main():
     ap.add_argument("--hidden", type=int, default=20)
     ap.add_argument("--kernel_precision", default="bf16",
                     choices=["split2", "bf16"])
+    ap.add_argument("--seed", type=int, default=0)
+    # the million-node levers (examples/large_graph.py): profile the EXACT
+    # configuration the committed scale records run, not just the 200k default
+    ap.add_argument("--layout", default="auto",
+                    choices=["auto", "nd", "feature_major"])
+    ap.add_argument("--emission_precision", default="f32",
+                    choices=["f32", "bf16"])
+    ap.add_argument("--residual_precision", default="f32",
+                    choices=["f32", "bf16"])
     from ndcn_tpu.utils.platform import add_platform_flag
     add_platform_flag(ap)
     args = ap.parse_args()
@@ -67,8 +76,12 @@ def main():
     from ndcn_tpu.train.optim import make_sgd_step, torch_adam
     from ndcn_tpu.train.sampling import sample_times
 
-    adj = build_sparse_graph(args.n, args.deg, args.seed if hasattr(args, "seed") else 0)
+    adj = build_sparse_graph(args.n, args.deg, args.seed)
     n = adj.shape[0]
+    emission_dtype = jnp.bfloat16 if args.emission_precision == "bf16" else None
+    residual_dtype = jnp.bfloat16 if args.residual_precision == "bf16" else None
+    lev = dict(layout=args.layout, emission_dtype=emission_dtype,
+               residual_dtype=residual_dtype)
     op = as_operator(normalized_laplacian_sparse(adj), sparse=True, format="coo")
     log(f"graph {n:,} nodes {adj.nnz:,} edges")
 
@@ -81,28 +94,56 @@ def main():
     x0 = jnp.asarray(rng.uniform(0, 25, size=(n, 1)).astype(np.float32))
     target = jnp.asarray(rng.rand(len(splits.id_train), n, 1).astype(np.float32))
 
+    # the CPU budget probe needs the triplet path — copy before the drop below
+    cpu_probe = to_cpu((params, op, t_train, x0))
+
+    # examples/large_graph.py's million-node arg plumbing: the axon compile
+    # endpoint caps requests at ~256 MB, so the big FLOAT leaves (tile vals,
+    # x0, target) ride as jit arguments, not closure constants, and the plain
+    # COO triplets are dropped when the tiled kernel serves matvec (the int
+    # index arrays stay closures — int tracers cannot cross the grad guard)
+    from ndcn_tpu.graph.sparse import use_tiled_kernel
+    has_tiles = getattr(op, "tiles", None) is not None and use_tiled_kernel()
+    if has_tiles:
+        op = op._replace(rows=None, cols=None, vals=None,
+                         rows_t=None, cols_t=None, vals_t=None)
+        fl = (op.tiles.vals, op.tiles_t.vals)
+    else:
+        fl = (None, None)
+
+    def with_vals(flv):
+        if not has_tiles:
+            return op
+        tv, tvt = flv
+        return op._replace(tiles=op.tiles._replace(vals=tv),
+                           tiles_t=op.tiles_t._replace(vals=tvt))
+
     results = {}
 
     # 1. chained SpMV (fwd tiles)
     @jax.jit
-    def spmv_chain(x):
+    def spmv_chain(x, flv):
+        op_ = with_vals(flv)
+
         def b(_, acc):
-            return matvec(op, acc) * 1e-3 + x
+            return matvec(op_, acc) * 1e-3 + x
         return jax.lax.fori_loop(0, 10, b, x)
 
-    dt, _ = timeit(spmv_chain, h, reps=5)
+    dt, _ = timeit(spmv_chain, h, fl, reps=5)
     results["spmv_ms"] = round(dt / 10 * 1e3, 2)
     log(f"SpMV: {dt/10*1e3:.2f} ms")
 
     # 2. full RHS eval (A·h then W·h etc.)
     @jax.jit
-    def rhs_chain(x):
+    def rhs_chain(x, flv):
+        op_ = with_vals(flv)
+
         def b(_, acc):
-            return ode_func(params, op, 0.0, acc) * 1e-3 + x
+            return ode_func(params, op_, 0.0, acc) * 1e-3 + x
         return jax.lax.fori_loop(0, 10, b, x)
 
     try:
-        dt, _ = timeit(rhs_chain, h, reps=5)
+        dt, _ = timeit(rhs_chain, h, fl, reps=5)
         results["rhs_ms"] = round(dt / 10 * 1e3, 2)
         log(f"RHS: {dt/10*1e3:.2f} ms")
     except Exception as e:
@@ -110,19 +151,17 @@ def main():
 
     # 3. forward solve, inference path (while_loop)
     @jax.jit
-    def fwd_nondiff(p):
-        out, stats = ndcn_forward(p, op, t_train, x0, rtol=0.01, atol=0.001,
+    def fwd_nondiff(p, flv, x0_, target_):
+        out, stats = ndcn_forward(p, with_vals(flv), t_train, x0_,
+                                  rtol=0.01, atol=0.001,
                                   method="dopri5", max_steps=1 << 14,
-                                  nondiff=True)
-        return l1_loss(out, target), stats.nfe
+                                  nondiff=True, **lev)
+        return l1_loss(out, target_), stats.nfe
 
-    dt, (loss, nfe) = timeit(fwd_nondiff, params, reps=5)
+    dt, (loss, nfe) = timeit(fwd_nondiff, params, fl, x0, target, reps=5)
     results["fwd_while_ms"] = round(dt * 1e3, 1)
     results["nfe"] = int(nfe)
     log(f"fwd solve (while): {dt*1e3:.1f} ms, nfe {int(nfe)}")
-
-    # budget like the demo
-    cpu_probe = to_cpu((params, op, t_train, x0))
 
     def probe():
         p, op_c, t_c, x_c = cpu_probe
@@ -137,44 +176,54 @@ def main():
 
     # 4. forward solve, differentiable path (bounded scan), no grad
     @jax.jit
-    def fwd_scan(p):
-        out, stats = ndcn_forward(p, op, t_train, x0, rtol=0.01, atol=0.001,
-                                  method="dopri5", max_steps=max_steps)
-        return l1_loss(out, target)
+    def fwd_scan(p, flv, x0_, target_):
+        out, stats = ndcn_forward(p, with_vals(flv), t_train, x0_,
+                                  rtol=0.01, atol=0.001,
+                                  method="dopri5", max_steps=max_steps, **lev)
+        return l1_loss(out, target_)
 
-    dt, _ = timeit(fwd_scan, params, reps=5)
+    dt, _ = timeit(fwd_scan, params, fl, x0, target, reps=5)
     results["fwd_scan_ms"] = round(dt * 1e3, 1)
     log(f"fwd solve (scan): {dt*1e3:.1f} ms")
 
     # 5. value_and_grad only
     @jax.jit
-    def vgrad(p):
+    def vgrad(p, flv, x0_, target_):
         def obj(q):
-            out, stats = ndcn_forward(q, op, t_train, x0, rtol=0.01,
+            out, stats = ndcn_forward(q, with_vals(flv), t_train, x0_,
+                                      rtol=0.01,
                                       atol=0.001, method="dopri5",
-                                      max_steps=max_steps)
-            return jnp.where(stats.success, l1_loss(out, target), jnp.nan)
+                                      max_steps=max_steps, **lev)
+            return jnp.where(stats.success, l1_loss(out, target_), jnp.nan)
         return jax.value_and_grad(obj)(p)
 
-    dt, _ = timeit(vgrad, params, reps=5)
+    dt, _ = timeit(vgrad, params, fl, x0, target, reps=5)
     results["grad_ms"] = round(dt * 1e3, 1)
     log(f"value_and_grad: {dt*1e3:.1f} ms")
 
     # 6. full train step
     opt = torch_adam(0.01, 1e-3)
 
-    def objective(p, _rng):
-        out, stats = ndcn_forward(p, op, t_train, x0, rtol=0.01, atol=0.001,
-                                  method="dopri5", max_steps=max_steps)
-        loss = l1_loss(out, target)
-        return jnp.where(stats.success, loss, jnp.nan), relative_l1(out, target)
+    def objective_with(flv, x0_, target_):
+        def objective(p, _rng):
+            out, stats = ndcn_forward(p, with_vals(flv), t_train, x0_,
+                                      rtol=0.01, atol=0.001,
+                                      method="dopri5", max_steps=max_steps,
+                                      **lev)
+            loss = l1_loss(out, target_)
+            return (jnp.where(stats.success, loss, jnp.nan),
+                    relative_l1(out, target_))
+        return objective
 
-    step = jax.jit(make_sgd_step(opt, objective))
+    @jax.jit
+    def step(p, s, k, flv, x0_, target_):
+        return make_sgd_step(opt, objective_with(flv, x0_, target_))(p, s, k)
+
     opt_state = opt.init(params)
     key = jax.random.PRNGKey(1)
 
     def full(p, s):
-        return step(p, s, key)
+        return step(p, s, key, fl, x0, target)
 
     dt, _ = timeit(full, params, opt_state, reps=5)
     results["step_ms"] = round(dt * 1e3, 1)
