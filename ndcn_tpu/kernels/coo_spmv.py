@@ -86,8 +86,17 @@ jax.tree_util.register_pytree_node(
 
 
 def pack_tiles(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n: int,
-               tile_rows: int = R_TILE, slice_edges: int = E_SLICE) -> CooTiles:
-    """Vectorized host-side packing of row-SORTED triplets into sliced tiles."""
+               tile_rows: int = R_TILE, slice_edges: int = E_SLICE,
+               sort_cols: bool = False) -> CooTiles:
+    """Vectorized host-side packing of row-SORTED triplets into sliced tiles.
+
+    ``sort_cols`` reorders each tile's edges by COLUMN before slicing — legal
+    because the kernel's one-hot segment-sum is order-invariant within a tile
+    (local_rows ride per-slot). MEASURED NULL RESULT on v5e at 1M nodes /
+    11M edges: column-sorted gather == random gather (90.37 vs 90.41 ms,
+    tools/microbench_sparse.py [3b] vs [3]) — the gather is per-slot
+    issue-rate bound (~122M slots/s), not locality bound, so this knob is
+    off by default and kept only as the documented experiment."""
     rows = np.asarray(rows)
     cols = np.asarray(cols)
     vals = np.asarray(vals)
@@ -97,7 +106,11 @@ def pack_tiles(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n: int,
     n_pad = T * R
     nnz = rows.shape[0]
 
-    tile_starts = np.searchsorted(rows, np.arange(T) * R)      # (T,)
+    if sort_cols and nnz:
+        order = np.lexsort((cols, rows // R))  # (tile, col): stable, tiles stay
+        rows, cols, vals = rows[order], cols[order], vals[order]
+
+    tile_starts = np.searchsorted(rows // R * R, np.arange(T) * R)  # (T,)
     counts = np.diff(np.append(tile_starts, nnz))              # edges per tile
     s_count = np.maximum(1, -(-counts // E))                   # slices per tile
     slice_base = np.concatenate([[0], np.cumsum(s_count)[:-1]])

@@ -113,6 +113,23 @@ def main():
     log(f"[3] gather minor ({d},nnz): {t*1e3:.3f} ms ({nnz/t/1e6:,.0f}M cols/s)")
     results["gather_minor_ms"] = t * 1e3
 
+    # 3b. gather minor, column-SORTED indices — the locality upper bound.
+    # The sliced-tile kernel's segment-sum is order-invariant WITHIN a row
+    # tile, so pack-time column sorting per tile can recover a fraction of
+    # whatever this wins. MEASURED on v5e at 1M/11M: [3b] == [3] to 0.01 ms
+    # (90.37 vs 90.41) — the gather is per-slot issue-rate bound and locality
+    # work is pointless; pack_tiles(sort_cols=) stays off.
+    cols_sorted = jnp.asarray(np.sort(cols))
+
+    def step_gather_minor_sorted(yT):
+        g = jnp.take(yT, cols_sorted, axis=1)    # (d, nnz)
+        return yT + 1e-12 * g[:, :n]
+
+    t, _ = chain_time(step_gather_minor_sorted, xT_j)
+    log(f"[3b] gather minor SORTED ({d},nnz): {t*1e3:.3f} ms "
+        f"({nnz/t/1e6:,.0f}M cols/s)")
+    results["gather_minor_sorted_ms"] = t * 1e3
+
     # 4. sorted segment_sum only (chained via contrib scale)
     contrib0 = jnp.asarray((vals[:, None] * x[cols]).astype(np.float32))
 

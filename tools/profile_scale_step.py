@@ -120,30 +120,65 @@ def main():
 
     results = {}
 
-    # 1. chained SpMV (fwd tiles)
-    @jax.jit
-    def spmv_chain(x, flv):
-        op_ = with_vals(flv)
+    # sections 1-2 probe the SAME layout the solve below resolves to, so the
+    # SpMV row of the breakdown is the cost the solve actually pays per eval
+    # (the feature-major solve skips tiled_spmv's per-call (n, d) <-> (d_sub, n)
+    # relayout — ~5 ms of the ~102 ms nd matvec at 1M nodes).
+    # Mirrors models/ndcn.ndcn_forward's 'auto' resolution.
+    from ndcn_tpu.models.ndcn import _FEATURE_MAJOR_AUTO_NODES, ode_func_T
+    fm = has_tiles and (args.layout == "feature_major"
+                        or (args.layout == "auto"
+                            and n >= _FEATURE_MAJOR_AUTO_NODES))
+    results["resolved_layout"] = "feature_major" if fm else "nd"
+    if fm:
+        from ndcn_tpu.kernels.coo_spmv import spmv_T, sublane_pad
+        d_sub = sublane_pad(d)
+        hT = jnp.pad(h, ((0, 0), (0, d_sub - d))).T      # (d_sub, n)
 
-        def b(_, acc):
-            return matvec(op_, acc) * 1e-3 + x
-        return jax.lax.fori_loop(0, 10, b, x)
+        @jax.jit
+        def spmv_chain(x, flv):
+            op_ = with_vals(flv)
 
-    dt, _ = timeit(spmv_chain, h, fl, reps=5)
+            def b(_, acc):
+                return spmv_T(op_.tiles, op_.tiles_t, acc) * 1e-3 + x
+            return jax.lax.fori_loop(0, 10, b, x)
+
+        @jax.jit
+        def rhs_chain(x, flv):
+            op_ = with_vals(flv)
+
+            def b(_, acc):
+                return ode_func_T(params, op_, 0.0, acc) * 1e-3 + x
+            return jax.lax.fori_loop(0, 10, b, x)
+
+        probe_x = hT
+    else:
+        # 1. chained SpMV (fwd tiles)
+        @jax.jit
+        def spmv_chain(x, flv):
+            op_ = with_vals(flv)
+
+            def b(_, acc):
+                return matvec(op_, acc) * 1e-3 + x
+            return jax.lax.fori_loop(0, 10, b, x)
+
+        # 2. full RHS eval (A·h then W·h etc.)
+        @jax.jit
+        def rhs_chain(x, flv):
+            op_ = with_vals(flv)
+
+            def b(_, acc):
+                return ode_func(params, op_, 0.0, acc) * 1e-3 + x
+            return jax.lax.fori_loop(0, 10, b, x)
+
+        probe_x = h
+
+    dt, _ = timeit(spmv_chain, probe_x, fl, reps=5)
     results["spmv_ms"] = round(dt / 10 * 1e3, 2)
-    log(f"SpMV: {dt/10*1e3:.2f} ms")
-
-    # 2. full RHS eval (A·h then W·h etc.)
-    @jax.jit
-    def rhs_chain(x, flv):
-        op_ = with_vals(flv)
-
-        def b(_, acc):
-            return ode_func(params, op_, 0.0, acc) * 1e-3 + x
-        return jax.lax.fori_loop(0, 10, b, x)
+    log(f"SpMV ({results['resolved_layout']}): {dt/10*1e3:.2f} ms")
 
     try:
-        dt, _ = timeit(rhs_chain, h, fl, reps=5)
+        dt, _ = timeit(rhs_chain, probe_x, fl, reps=5)
         results["rhs_ms"] = round(dt / 10 * 1e3, 2)
         log(f"RHS: {dt/10*1e3:.2f} ms")
     except Exception as e:
