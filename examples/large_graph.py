@@ -126,7 +126,6 @@ def main(argv=None):
     if args.kernel_precision == "bf16":
         from ndcn_tpu.kernels import coo_spmv
         coo_spmv.GATHER_BF16 = True
-
     from ndcn_tpu.dynamics import make_rhs
     from ndcn_tpu.graph.operators import normalized_laplacian_sparse
     from ndcn_tpu.graph.sparse import as_operator
@@ -210,16 +209,24 @@ def main(argv=None):
         carry_saves = ms * 2 * st32                     # (y, f) per scan slot
         spmv_saves = int(ms * 6 * st32 * rs_scale)      # 6 new evals/attempt
         tiles_b = 0
+        gather_b = 0
         tiles = getattr(model_op, "tiles", None)
         if tiles is not None:
             slots = int(tiles.cols.size)
             tiles_b = 2 * slots * (4 + 4 + 4)           # cols+vals+local_rows
+            # the per-eval (d_sub, slots) gather buffer is a TRANSIENT, but
+            # it coexists with every resident above at eval time, so it
+            # belongs in the fit total
+            g_item = 2 if args.kernel_precision == "bf16" else 4
+            gather_b = slots * d_sub * g_item
         data_b = (len(splits.id_train) + 1) * n * 4     # target + x0
-        total = emissions + carry_saves + spmv_saves + tiles_b + data_b
+        total = (emissions + carry_saves + spmv_saves + tiles_b + gather_b
+                 + data_b)
         limit = accelerator_memory_limit()
         for name, b in [("emissions(fwd+bwd)", emissions),
                         ("carry_saves", carry_saves),
                         ("spmv_saves", spmv_saves), ("tiles", tiles_b),
+                        ("gather_transient", gather_b),
                         ("data", data_b)]:
             print(f"  {name:<20s} {b / 1e9:6.2f} GB", file=sys.stderr)
         print(json.dumps({

@@ -139,7 +139,6 @@ def run(dynamics_kind: str, args: argparse.Namespace) -> Dict[str, Any]:
     if getattr(args, "kernel_precision", "split2") == "bf16":
         from ndcn_tpu.kernels import coo_spmv
         coo_spmv.GATHER_BF16 = True
-
     if getattr(args, "emission_precision", "f32") != "f32" and (
             args.method not in ("dopri5", "tsit5") or args.adjoint):
         # fail-loudly policy: ode_block strips the emission options off the

@@ -57,6 +57,23 @@ N_SPLITS = 2
 # Trace-time constant; the scale demo exposes it as --kernel_precision bf16.
 GATHER_BF16 = False
 
+# Wide-gather mode — a MEASURED NULL KNOB, kept as the verified record of a
+# probed dead end (like pack_tiles(sort_cols=)). Hypothesis: the TPU gather
+# is per-slot ISSUE-RATE bound and full-lane 512-byte rows issue at 2× the
+# narrow-slot rate (235M vs 122M slots/s at 1M nodes / 11M edges,
+# results/microbench_sparse_1m.json), so gathering x[cols] from a row-major
+# (n, 128) lane-padded table should buy back ~43 of the narrow gather's
+# ~90 ms. Measured end to end (results/microbench_wide_gather_1m.json, with
+# the table materialization barrier in place): the SpMV got SLOWER — 154.1 ms
+# vs narrow's 105.9 (split2), 146.6 vs 125.1 (bf16). The gather saving is
+# repaid with interest in the reduce: every Pallas tile must DMA an (E, 128)
+# contrib block into VMEM — 6.4× the narrow (d_sub, E) traffic at d=20 — and
+# the MXU contraction is lane-padded either way, so there is nothing to win
+# back. Correctness is pinned by tests (forward, VJP, sharded compose); not
+# exposed as a driver flag. Trace-time constant.
+GATHER_WIDE = False
+D_WIDE = 128          # lane width of the wide-gather table
+
 
 class CooTiles(NamedTuple):
     """Host-packed sliced row tiles of a row-sorted COO matrix.
@@ -186,6 +203,93 @@ def _make_kernel(E: int, R: int):
     return seg_kernel
 
 
+def _make_kernel_wide(E: int, R: int, d_sub: int):
+    """Wide-gather reduction: contribs arrive ROW-major (E, D_WIDE) straight
+    from the (n, 128)-table gather; the MXU pass contracts the edge dim
+    against the one-hot and emits the output tile FEATURE-major (d_sub, R),
+    so only the gather operand changes layout, never the SpMV result."""
+    import jax.experimental.pallas as pl
+
+    def seg_kernel(tile_ref, first_ref, lr_ref, vv_ref, g_ref, out_ref):
+        s = pl.program_id(0)
+
+        @pl.when(first_ref[s] == 1)
+        def _zero():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+
+        lr = lr_ref[:].reshape(1, E)
+        sel = jax.lax.broadcasted_iota(jnp.int32, (R, E), 0) == lr
+        if GATHER_BF16:
+            onehot_t = jnp.where(sel, vv_ref[:].reshape(1, E), 0.0
+                                 ).astype(jnp.bfloat16)
+            contrib = g_ref[:, :]
+        else:
+            onehot_t = sel.astype(jnp.bfloat16)
+            contrib = g_ref[:, :] * vv_ref[:].reshape(E, 1)
+        acc = None
+        rem = contrib
+        n_splits = 1 if GATHER_BF16 else N_SPLITS
+        for _ in range(n_splits):
+            hi = rem.astype(jnp.bfloat16)
+            # (D_WIDE, R) = contribᵀ @ one-hotᵀ: contract the edge dim of the
+            # (E, D_WIDE) contrib block against the (R, E) selection — same
+            # explicit-split numerics as the narrow kernel (see _make_kernel)
+            part = jax.lax.dot_general(
+                hi, onehot_t, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            acc = part if acc is None else acc + part
+            rem = rem - hi.astype(jnp.float32)
+        out_ref[:, :] += acc[:d_sub, :]
+
+    return seg_kernel
+
+
+def _reduce_call_wide(tiles: CooTiles, gathered: jnp.ndarray,
+                      d_sub: int) -> jnp.ndarray:
+    """gathered: (S*E, D_WIDE) row-major gather output; returns feature-major
+    (d_sub, n_pad)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S = tiles.tile_of.shape[0]
+    E, R = tiles.E, tiles.R
+    dM = gathered.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((E,), lambda s, tile, first: (s,)),
+            pl.BlockSpec((E,), lambda s, tile, first: (s,)),
+            pl.BlockSpec((E, dM), lambda s, tile, first: (s, 0)),
+        ],
+        out_specs=pl.BlockSpec((d_sub, R), lambda s, tile, first: (0, tile[s])),
+    )
+    return pl.pallas_call(
+        _make_kernel_wide(E, R, d_sub),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d_sub, tiles.n_pad), jnp.float32),
+        interpret=pallas_interpret(),
+    )(tiles.tile_of, tiles.first, tiles.local_rows, tiles.vals, gathered)
+
+
+def _spmv_T_wide(tiles: CooTiles, xT: jnp.ndarray) -> jnp.ndarray:
+    """A @ X, feature-major in and out, via the wide row-major gather."""
+    d_sub, n = xT.shape
+    assert d_sub <= D_WIDE, (d_sub, D_WIDE)
+    xM = jnp.pad(xT.T, ((0, 0), (0, D_WIDE - d_sub)))   # (n, 128) table
+    if GATHER_BF16:
+        xM = xM.astype(jnp.bfloat16)
+    # the barrier forces the table to MATERIALIZE: without it XLA fuses the
+    # pad+transpose into the gather, and every gathered slot then reads the
+    # strided (d_sub, n) layout — the exact slow path this mode exists to
+    # avoid (the 235M rows/s wide rate was measured on a real table)
+    xM = jax.lax.optimization_barrier(xM)
+    gathered = jnp.take(xM, tiles.cols, axis=0)          # (S*E, 128)
+    return _reduce_call_wide(tiles, gathered, d_sub)[:, : tiles.n]
+
+
 def _reduce_call(tiles: CooTiles, gathered: jnp.ndarray) -> jnp.ndarray:
     """gathered: (d_sub, S*E) feature-major contrib inputs (pre-multiplied by
     nothing — vals ride in as a kernel operand); returns (d_sub, n_pad)."""
@@ -216,6 +320,8 @@ def _reduce_call(tiles: CooTiles, gathered: jnp.ndarray) -> jnp.ndarray:
 
 def _spmv_T(tiles: CooTiles, xT: jnp.ndarray) -> jnp.ndarray:
     """A @ X in feature-major form: xT (d_sub, n) -> (d_sub, n), f32."""
+    if GATHER_WIDE:
+        return _spmv_T_wide(tiles, xT)
     if GATHER_BF16:
         xT = xT.astype(jnp.bfloat16)
     gathered = jnp.take(xT, tiles.cols, axis=1)       # (d_sub, S*E)

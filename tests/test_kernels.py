@@ -325,6 +325,48 @@ def test_coo_tiled_spmv_matches_dense():
                                    atol=1e-4 * scale)
 
 
+def test_coo_wide_gather_matches_narrow(monkeypatch):
+    """GATHER_WIDE routes the gather through a row-major (n, 128) table and
+    the wide reduction kernel; forward and VJP must match the narrow
+    feature-major path to split-accumulation tolerance, in split2 and bf16
+    precision. The mode is a measured null knob — slower end to end at
+    1M/11M/d=20 (results/microbench_wide_gather_1m.json) — kept as the
+    verified record of the probe; this test pins its correctness."""
+    import ndcn_tpu.kernels.coo_spmv as ck
+    from ndcn_tpu.graph.sparse import from_scipy_coo
+    from ndcn_tpu.kernels.coo_spmv import spmv_T, sublane_pad, tiled_spmv
+
+    a, x, rng = _random_power_law_coo(300, 3000, seed=4)
+    op = from_scipy_coo(a, tiled=True)
+    ref = np.asarray(a @ np.asarray(x))
+    scale = np.abs(ref).max()
+    ct = jnp.asarray(rng.randn(*x.shape).astype(np.float32))
+    g_ref = np.asarray(a.T @ np.asarray(ct))
+
+    d_sub = sublane_pad(x.shape[1])
+    xT = jnp.pad(x, ((0, 0), (0, d_sub - x.shape[1]))).T
+
+    for precision in ("split2", "bf16"):
+        monkeypatch.setattr(ck, "GATHER_BF16", precision == "bf16")
+        tol = 2e-2 if precision == "bf16" else 1e-4
+        monkeypatch.setattr(ck, "GATHER_WIDE", True)
+        got = np.asarray(tiled_spmv(op.tiles, op.tiles_t, x))
+        np.testing.assert_allclose(got, ref, rtol=tol, atol=tol * scale)
+        # the feature-major entry (what the million-node solve calls)
+        gotT = np.asarray(spmv_T(op.tiles, op.tiles_t, xT))
+        np.testing.assert_allclose(gotT[: x.shape[1]].T, ref,
+                                   rtol=tol, atol=tol * scale)
+        g = jax.grad(lambda xx: jnp.sum(
+            tiled_spmv(op.tiles, op.tiles_t, xx) * ct))(x)
+        np.testing.assert_allclose(np.asarray(g), g_ref, rtol=tol,
+                                   atol=tol * np.abs(g_ref).max())
+        # wide == narrow at matching precision, to the tighter split2 bound
+        monkeypatch.setattr(ck, "GATHER_WIDE", False)
+        narrow = np.asarray(tiled_spmv(op.tiles, op.tiles_t, x))
+        np.testing.assert_allclose(got, narrow, rtol=1e-5,
+                                   atol=1e-5 * scale)
+
+
 def test_coo_tiled_operator_cotangent_is_nan_poisoned():
     from ndcn_tpu.graph.sparse import from_scipy_coo
     from ndcn_tpu.kernels.coo_spmv import tiled_spmv

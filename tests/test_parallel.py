@@ -183,12 +183,17 @@ def test_row_sharded_tiled_ndcn_train_step(mesh):
                                    rtol=1e-3, atol=1e-5)
 
 
-def test_feature_major_composes_with_mesh(mesh):
+@pytest.mark.parametrize("kernel_gather", ["narrow", "wide"])
+def test_feature_major_composes_with_mesh(mesh, monkeypatch, kernel_gather):
     """layout='feature_major' over a tile-packed RowShardedCoo: the (d_sub, n)
     solve runs column-sharded with per-device kernel row blocks (rs_spmv_T) —
     the 1M-node layout and the multi-chip path compose (VERDICT r3 weak #6).
     Fixed-grid parity vs the dense (n, d) layout (adaptive step control is
-    excluded by design: the feature-major error norm counts the zero pad rows)."""
+    excluded by design: the feature-major error norm counts the zero pad rows).
+    Both gather layouts: GATHER_WIDE dispatches inside _spmv_T, so the sharded
+    per-device kernel inherits it with no shard_map changes."""
+    import ndcn_tpu.kernels.coo_spmv as ck
+    monkeypatch.setattr(ck, "GATHER_WIDE", kernel_gather == "wide")
     import scipy.sparse as sp
     from ndcn_tpu.graph import sparse as gs
     from ndcn_tpu.graph.sparse import from_dense, from_scipy_coo
