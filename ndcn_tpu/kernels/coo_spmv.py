@@ -110,7 +110,8 @@ def pack_tiles(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n: int,
     ``sort_cols`` reorders each tile's edges by COLUMN before slicing — legal
     because the kernel's one-hot segment-sum is order-invariant within a tile
     (local_rows ride per-slot). MEASURED NULL RESULT on v5e at 1M nodes /
-    11M edges: column-sorted gather == random gather (90.37 vs 90.41 ms,
+    11M edges: column-sorted gather == random gather (90.36 vs 90.37 ms,
+    sorted marginally SLOWER — results/microbench_sparse_1m.json,
     tools/microbench_sparse.py [3b] vs [3]) — the gather is per-slot
     issue-rate bound (~122M slots/s), not locality bound, so this knob is
     off by default and kept only as the documented experiment."""

@@ -177,6 +177,60 @@ def test_ndcn_gradient_parity_vs_reference(mode):
         assert _rel_l1(gb, f[f"g_{name}_b_{mode}"]) < 1e-3, name
 
 
+@pytest.mark.parametrize("mode", ["backprop", "adjoint"])
+@pytest.mark.parametrize("dyn", ["mutualistic", "gene"])
+def test_ndcn_gradient_parity_per_dynamics(dyn, mode):
+    """Per-dynamics NDCN loss/grad parity (round-4 verdict: grad fixtures were
+    heat-only). Same flagship l1 training signal (heat_dynamics.py:317-333 and
+    its clones), but the target is the REFERENCE's ground-truth trajectory of
+    that dynamics on random60 and the operator is its normalized Laplacian.
+    Fixture provenance: tools/make_parity_fixtures.py §7c.
+
+    Tolerances (measured, docs/PARITY.md "gradient-parity floor"): loss and
+    decoder grads match to ≤1e-4 (the emission/readout path), but encoder/wt
+    grads are held to 2e-2, NOT the heat fixture's 1e-3 — and that floor is
+    fundamental, not slack. Both autodiffs are EXACT for their programs
+    (h-scaling FD on this fixture converges to our grad at 4e-8 by h=1e-8),
+    both take the identical 4-step accept sequence (nfe 26 == 26), and the
+    trajectories agree to 2.4e-7 — yet backprop-through-the-controller is only
+    piecewise-smooth (step-size clamp and accept boundaries), and this fixture
+    sits within 1e-7 of a derivative kink whose one-sided gradients differ by
+    ~0.5% (measured: forward/backward one-sided FD at h=1e-7 give -7.72 vs
+    -7.68 on the largest enc1 entry). Two float32 programs equal to roundoff
+    land on opposite sides of that kink, so ~0.7% grad deviation is the parity
+    floor for ANY correct implementation at these weights."""
+    from ndcn_tpu.graph import operators
+    from ndcn_tpu.graph.sparse import from_dense
+    from ndcn_tpu.models import ndcn_forward
+
+    f = _load_grad_fixture(f"ndcn_grads_random60_{dyn}")
+    op = from_dense(operators.normalized_laplacian(f["adj"]))
+    params = {
+        "enc1": {"w": jnp.asarray(f["enc1_w"].T), "b": jnp.asarray(f["enc1_b"])},
+        "enc2": {"w": jnp.asarray(f["enc2_w"].T), "b": jnp.asarray(f["enc2_b"])},
+        "wt": {"w": jnp.asarray(f["wt_w"].T), "b": jnp.asarray(f["wt_b"])},
+        "dec": {"w": jnp.asarray(f["dec_w"].T), "b": jnp.asarray(f["dec_b"])},
+    }
+    x0, vt, target = (jnp.asarray(f["x0"]), jnp.asarray(f["t"]),
+                      jnp.asarray(f["target"]))
+
+    def loss_fn(p):
+        out, _ = ndcn_forward(p, op, vt, x0, rtol=0.01, atol=0.001,
+                              method="dopri5", max_steps=64,
+                              adjoint=(mode == "adjoint"))
+        return jnp.mean(jnp.abs(out[..., 0].T - target))
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert abs(float(loss) - float(f[f"loss_{mode}"])) / abs(
+        float(f[f"loss_{mode}"])) < 1e-4
+    for name in ("enc1", "enc2", "wt", "dec"):
+        gw = np.asarray(grads[name]["w"]).T
+        gb = np.asarray(grads[name]["b"])
+        tol = 1e-4 if name == "dec" else 2e-2  # see docstring
+        assert _rel_l1(gw, f[f"g_{name}_w_{mode}"]) < tol, name
+        assert _rel_l1(gb, f[f"g_{name}_b_{mode}"]) < tol, name
+
+
 def test_ndcn_gradient_parity_vs_reference_euler():
     """Same flagship l1 loss, but down the EULER path — the dynamics scripts'
     default method (heat_dynamics.py:22): fixed-grid steps over the requested

@@ -360,11 +360,17 @@ def test_coo_wide_gather_matches_narrow(monkeypatch):
             tiled_spmv(op.tiles, op.tiles_t, xx) * ct))(x)
         np.testing.assert_allclose(np.asarray(g), g_ref, rtol=tol,
                                    atol=tol * np.abs(g_ref).max())
-        # wide == narrow at matching precision, to the tighter split2 bound
+        # wide == narrow at matching precision. Keep the tight 1e-5 bound for
+        # f32 only: in the bf16 branch the two kernels contract the edge dim
+        # from differently-laid-out operands, so on a real TPU the f32 partial
+        # accumulation order can differ — hold them to the per-precision tol
+        # instead (CPU interpret mode passes 1e-5, but the suite should stay
+        # green on-device too).
         monkeypatch.setattr(ck, "GATHER_WIDE", False)
         narrow = np.asarray(tiled_spmv(op.tiles, op.tiles_t, x))
-        np.testing.assert_allclose(got, narrow, rtol=1e-5,
-                                   atol=1e-5 * scale)
+        cross_tol = 1e-5 if precision != "bf16" else tol
+        np.testing.assert_allclose(got, narrow, rtol=cross_tol,
+                                   atol=cross_tol * scale)
 
 
 def test_coo_tiled_operator_cotangent_is_nan_poisoned():

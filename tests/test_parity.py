@@ -169,6 +169,32 @@ def test_physics_parity(name):
     assert rel_l1(np.asarray(sol), f["sol"]) < 1e-4
 
 
+NS_DYNAMICS = ("heat", "mutualistic", "gene")
+NS_NETS = ("grid", "random", "power_law", "small_world", "community")
+
+
+@pytest.mark.parametrize("net", NS_NETS)
+@pytest.mark.parametrize("dyn", NS_DYNAMICS)
+def test_north_star_grid_parity(dyn, net):
+    """BASELINE.md's headline promise, proven combo by combo: ≤1e-4 rel-L1 vs
+    the reference oracle on ALL 3 dynamics × 5 graph topologies (reference
+    graph zoo heat_dynamics.py:83-110 × ground truth :207-209, n=400,
+    grid-block x0 :177-183, default dopri5 tolerances odeint.py:20).
+    Fixtures: tools/make_parity_fixtures.py §8. The stored adjacency also pins
+    generator determinism: build_network must reproduce it bit-exactly."""
+    from ndcn_tpu.graph import generators
+
+    f = load(f"ns_{dyn}_{net}")
+    adj = generators.build_network(net, 400, seed=0)
+    assert np.array_equal(adj, f["adj"]), "generator drifted from fixture"
+    mat = operators.laplacian_dense(adj) if dyn == "heat" else adj
+    op = from_dense(mat)
+    sol = odeint(make_rhs(dyn, op), jnp.asarray(f["x0"]), jnp.asarray(f["t"]),
+                 rtol=1e-7, atol=1e-9, method="dopri5",
+                 options={"differentiable": False})
+    assert rel_l1(np.asarray(sol), f["sol"]) < 1e-4
+
+
 def test_ndcn_forward_parity():
     """Full flagship forward with the reference's torch-initialized weights."""
     from ndcn_tpu.graph import generators

@@ -57,15 +57,15 @@ def main():
     results = {"n": n, "nnz": nnz, "d": d, "device": str(jax.devices()[0]),
                "R": tiles.R, "E": tiles.E, "modes": []}
 
-    # the wide mode's relayout tax alone: (d_sub, n) -> materialized (n, 128)
-    def relayout(yT):
-        xM = jax.lax.optimization_barrier(
-            jnp.pad(yT.T, ((0, 0), (0, coo_spmv.D_WIDE - d_sub))))
-        return xM[:, :d_sub].T * (1.0 - 1e-12)
-
-    t = chain_time(relayout, xT_j)
-    results["relayout_ms"] = round(t * 1e3, 2)
-    log(f"pad-transpose relayout (there and back): {t*1e3:.2f} ms")
+    # NOTE: an earlier revision tried to time the wide mode's relayout tax in
+    # isolation ((d_sub, n) -> materialized (n, 128) table and back). That row
+    # measured nothing: with only a slice of the table consumed, XLA elides
+    # the 512 MB pad+transpose write even across an optimization_barrier
+    # (recorded 0.00 ms at 1M nodes — physically impossible). There is no
+    # reliable slice-free consumer short of a Pallas call, and the END-TO-END
+    # wide timings below already pay the true relayout cost because the Pallas
+    # gather's operand is materialized at the custom-call boundary — so the
+    # standalone row is dropped rather than kept misleading.
     for wide in (False, True):
         for precision in ("split2", "bf16"):
             coo_spmv.GATHER_WIDE = wide

@@ -117,8 +117,9 @@ def main():
     # The sliced-tile kernel's segment-sum is order-invariant WITHIN a row
     # tile, so pack-time column sorting per tile can recover a fraction of
     # whatever this wins. MEASURED on v5e at 1M/11M: [3b] == [3] to 0.01 ms
-    # (90.37 vs 90.41) — the gather is per-slot issue-rate bound and locality
-    # work is pointless; pack_tiles(sort_cols=) stays off.
+    # (90.36 vs 90.37, sorted marginally SLOWER —
+    # results/microbench_sparse_1m.json) — the gather is per-slot issue-rate
+    # bound and locality work is pointless; pack_tiles(sort_cols=) stays off.
     cols_sorted = jnp.asarray(np.sort(cols))
 
     def step_gather_minor_sorted(yT):
