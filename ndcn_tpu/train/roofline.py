@@ -1,0 +1,121 @@
+"""Gather-floor roofline accounting for the tiled COO train step.
+
+VERDICT r4 weak #3: the committed perf records said how fast the step IS but
+not how fast it CAN be, so a regression (or a win) couldn't be judged against
+the hardware ceiling. The ceiling of the sparse train step is the SpMV gather
+issue rate — the kernel's (d_sub, slots) gather from HBM is bounded by the
+TPU's dynamic-gather slot rate (~122M slots/s measured at the 1M shape,
+results/microbench_sparse_1m.json), far below the sequential-stream bandwidth
+— so the honest floor is built from the MEASURED per-SpMV time at the run's
+exact shape, not from a bytes/bandwidth estimate the gather can never hit.
+
+SpMV census of one differentiable dopri5 train step (models/ndcn.py +
+ode/adaptive.py): the solve makes ``nfe`` forward RHS evaluations — each one
+forward SpMV — and the backward reloads the remat-SAVED SpMV outputs
+(residual_dtype), so it re-gathers nothing forward but pushes each eval's
+cotangent through A^T: one transpose SpMV per eval (the sorted-transpose
+triplets, CooGraph.*_t). Hence
+
+    gather_floor_s = nfe * (spmv_fwd_s + spmv_t_s)
+
+and ``pct_of_gather_floor`` = floor / measured-step-time. The census counts
+EXECUTED evals (nfe), NOT max_steps * 6: the bounded scan's cond-skipped
+slots really are skipped on TPU — lax.cond inside an unbatched scan stays a
+branch, it does not degrade to select — so a frozen slot costs only the carry
+copy. Measured at the 1M flagship shape (results/reconcile_1m_step.json):
+raising max_steps 8 -> 12 moves the blocking step 5.595 -> 5.635 s, a
+per-slot marginal cost of ~10 ms against a ~1.3 s per-slot cost if the 6
+stage evals actually ran. ``nfe`` is state-dependent (the attempt count grows
+as training shapes the trajectory: first post-init step 4.5 s vs 5.9 s
+steady in the same record), so callers pass the budget probe's init-state nfe
+and the floor is the INIT-state ceiling. The reference has no counterpart to
+any of this (single-device torch.sparse.mm,
+/root/reference/neural_dynamics.py:28-31).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+
+def measure_spmv(op, d: int, kernel_precision: str = "split2",
+                 reps: int = 5, warm: int = 2) -> Optional[dict]:
+    """Time the tiled feature-major SpMV (forward and transpose packings) at
+    the operator's exact shape; return the roofline fields for a perf record.
+
+    ``op`` must carry ``tiles``/``tiles_t`` (graph.sparse.CooGraph or the
+    sharded equivalent with the same attributes); returns None otherwise.
+    Chained data-dependent iterations (fori_loop, 10 per call) keep XLA from
+    hoisting the SpMV out of the timed region — same discipline as
+    tools/profile_scale_step.py.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ndcn_tpu.kernels.coo_spmv import spmv_T, sublane_pad
+
+    tiles = getattr(op, "tiles", None)
+    tiles_t = getattr(op, "tiles_t", None)
+    if tiles is None or tiles_t is None:
+        return None
+
+    d_sub = sublane_pad(d)
+    n = int(tiles.n)
+    xT = jnp.asarray(np.random.RandomState(7).rand(d_sub, n)
+                     .astype(np.float32))
+    # the big FLOAT leaves ride as jit ARGUMENTS (examples/large_graph.py's
+    # million-node plumbing: closure constants embed in the compile request,
+    # which the axon tunnel caps at ~256 MB); the int index arrays stay
+    # closures — they are the smaller half and ints cannot be hoisted through
+    # the solver's gradient guard anyway
+    fl = (tiles.vals, tiles_t.vals)
+
+    @jax.jit
+    def fwd_chain(x, flv):
+        tv, tvt = flv
+        tl, tl_t = tiles._replace(vals=tv), tiles_t._replace(vals=tvt)
+
+        def b(_, acc):
+            return spmv_T(tl, tl_t, acc) * 1e-3 + x
+        return jax.lax.fori_loop(0, 10, b, x)
+
+    @jax.jit
+    def t_chain(x, flv):
+        # the backward's gather: A^T rides its own sorted packing, with the
+        # forward tiles as ITS transpose (custom_vjp symmetry)
+        tv, tvt = flv
+        tl, tl_t = tiles._replace(vals=tv), tiles_t._replace(vals=tvt)
+
+        def b(_, acc):
+            return spmv_T(tl_t, tl, acc) * 1e-3 + x
+        return jax.lax.fori_loop(0, 10, b, x)
+
+    def timeit(fn):
+        for _ in range(warm):
+            jax.block_until_ready(fn(xT, fl))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            jax.block_until_ready(fn(xT, fl))
+        return (time.perf_counter() - t0) / reps / 10
+
+    fwd_s = timeit(fwd_chain)
+    t_s = timeit(t_chain)
+    slots = int(tiles.cols.size)
+    g_item = 2 if kernel_precision == "bf16" else 4
+    return {
+        "spmv_fwd_ms": round(fwd_s * 1e3, 2),
+        "spmv_t_ms": round(t_s * 1e3, 2),
+        "slots": slots,
+        "slot_rate_m_per_s": round(slots / fwd_s / 1e6, 1),
+        "gather_gb_per_spmv": round(slots * d_sub * g_item / 1e9, 3),
+    }
+
+
+def gather_floor_s(nfe: int, spmv: dict) -> float:
+    """The step's SpMV-gather floor in seconds: ``nfe`` forward gathers plus
+    one transpose gather per eval's cotangent (census in module docstring)."""
+    fwd = spmv["spmv_fwd_ms"] / 1e3
+    t = spmv["spmv_t_ms"] / 1e3
+    return nfe * (fwd + t)
