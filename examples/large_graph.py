@@ -513,18 +513,6 @@ def main(argv=None):
         "training diverged or exhausted the step budget"
     assert np.isfinite(relf)
 
-    # Compile-time HBM reservation — AFTER the timed loop: the re-lowered
-    # executable's device arena can coexist with (and at million-node scale
-    # evict) the training program's, which was measured to depress the timed
-    # steps/s 0.16 -> 0.06 at 1M nodes when this ran before the loop.
-    hbm = footprint(params, opt_state, key)
-    hbm_program_gb = hbm["total_gb"] if hbm else None
-    if hbm is not None:
-        print(f"train-step program HBM: {hbm['total_gb']} GB "
-              f"(XLA buffer assignment: args {hbm['args_gb']} + temps "
-              f"{hbm['temp_gb']} + out {hbm['out_gb']} - alias "
-              f"{hbm['alias_gb']})", file=sys.stderr)
-
     # HBM high-water (device allocator peak): the measured check on the
     # --estimate prediction. Not every backend exposes memory_stats.
     hbm_peak_gb = None
@@ -536,6 +524,73 @@ def main(argv=None):
             hbm_peak_source = "memory_stats"
     except Exception:
         pass
+
+    def ballast_probe():
+        # Ballast probe: the allocator exposes no peak (axon plugin), so
+        # MEASURE one — find the largest resident ballast under which one
+        # more train step still executes; the step's true high-water is then
+        # bounded by (HBM limit - ballast). The step runs on device-copies
+        # (donation would otherwise consume the final train state). Trial
+        # order matters: a failed (OOM-driving) execution was observed to
+        # poison the arena for LATER allocations at the 1M shape (the r5b
+        # run's bisection started at 8.6 GB, failed, and every smaller trial
+        # failed too — lo stayed 0 while the plain step had just run fine),
+        # so grow ballast ASCENDING by doubling — every success lands on a
+        # clean arena and genuinely raises lo — then refine by bisection,
+        # where a post-OOM spurious failure only costs tightness: the bound
+        # is built from successes alone (peak <= limit - lo). Only
+        # allocation-failure errors narrow the bracket — anything else is a
+        # real bug and re-raises.
+        from ndcn_tpu.train.budget import accelerator_memory_limit
+        from ndcn_tpu.train.elastic import device_copy
+        limit = accelerator_memory_limit()
+        quantum = 256 << 20
+        trials = 0
+
+        def trial(nbytes):
+            nonlocal trials
+            trials += 1
+            ballast = p2 = s2 = out = None
+            try:
+                # allocate ON device (device_put would ship GBs of zeros
+                # through the axon tunnel every trial)
+                ballast = jax.block_until_ready(
+                    jnp.zeros(nbytes // 4, jnp.float32))
+                p2, s2 = device_copy((params, opt_state))
+                out = step(p2, s2, key)
+                jax.block_until_ready(out[2])
+                return True
+            except Exception as e:
+                msg = str(e)
+                if ("RESOURCE_EXHAUSTED" in msg or "memory" in msg.lower()
+                        or "allocat" in msg.lower()):
+                    return False
+                raise
+            finally:
+                del ballast, p2, s2, out
+
+        lo, hi = 0, limit
+        size = quantum
+        while size < limit and trial(size):
+            lo, size = size, size * 2
+        hi = min(size, limit)
+        while hi - lo > quantum and trials < 12:
+            mid = (lo + hi) // 2
+            if trial(mid):
+                lo = mid
+            else:
+                hi = mid
+        if lo > 0:
+            print(f"hbm probe: step executes beside {lo / 1e9:.2f} GB "
+                  f"ballast ({trials} trials) -> peak <= "
+                  f"{(limit - lo) / 1e9:.2f} GB of {limit / 1e9:.2f}",
+                  file=sys.stderr)
+            return round((limit - lo) / 1e9, 2), "ballast_bisection"
+        print(f"hbm probe: even {quantum >> 20} MB ballast fails on a clean "
+              f"arena ({trials} trials): the step runs within {quantum >> 20}"
+              f" MB of the {limit / 1e9:.2f} GB limit; recording the limit "
+              "as the measured bound", file=sys.stderr)
+        return round(limit / 1e9, 2), "ballast_no_headroom"
 
     roofline = None
     if args.roofline and args.mesh:
@@ -565,51 +620,32 @@ def main(argv=None):
                   f"{roofline['pct_of_gather_floor']}% of the "
                   f"{step_s:.2f}s step", file=sys.stderr)
 
+    # The OOM-driving ballast probe runs AFTER roofline (its failed trials
+    # can poison later allocations — the r5b 1M run crashed roofline's
+    # device_put even through a 20 s retry loop when the probe ran first)
+    # and BEFORE the footprint re-lower (whose second executable pins the
+    # arena: with footprint first the probe measured zero headroom at 1M).
     if args.hbm_probe and hbm_peak_gb is None:
-        # Ballast bisection: the allocator exposes no peak (axon plugin), so
-        # MEASURE one — find the largest resident ballast under which one
-        # more train step still executes; the step's true high-water is then
-        # bounded by (HBM limit - ballast). The step runs on device-copies
-        # (donation would otherwise consume the final train state), and only
-        # allocation-failure errors narrow the bracket — anything else is a
-        # real bug and re-raises. This probe deliberately drives the device
-        # arena to OOM, so it runs LAST — after the roofline SpMV timing —
-        # the first 200k attempt crashed the roofline's device_put by running
-        # the probe first.
-        from ndcn_tpu.train.budget import accelerator_memory_limit
-        limit = accelerator_memory_limit()
-        quantum = 256 << 20
-        lo, hi = 0, limit
-        trials = 0
-        while hi - lo > quantum:
-            mid = (lo + hi) // 2
-            trials += 1
-            ballast = None
-            try:
-                # allocate ON device (device_put would ship GBs of zeros
-                # through the axon tunnel every trial)
-                ballast = jax.block_until_ready(
-                    jnp.zeros(mid // 4, jnp.float32))
-                from ndcn_tpu.train.elastic import device_copy
-                p2, s2 = device_copy((params, opt_state))
-                out = step(p2, s2, key)
-                jax.block_until_ready(out[2])
-                lo = mid
-                del p2, s2, out
-            except Exception as e:
-                msg = str(e)
-                if ("RESOURCE_EXHAUSTED" in msg or "memory" in msg.lower()
-                        or "allocat" in msg.lower()):
-                    hi = mid
-                else:
-                    raise
-            finally:
-                del ballast
-        hbm_peak_gb = round((limit - lo) / 1e9, 2)
-        hbm_peak_source = "ballast_bisection"
-        print(f"hbm probe: step executes beside {lo / 1e9:.2f} GB ballast "
-              f"({trials} trials) -> peak <= {hbm_peak_gb} GB of "
-              f"{limit / 1e9:.2f}", file=sys.stderr)
+        if jax.devices()[0].platform == "cpu":
+            # host allocations never OOM against the 16 GB default limit;
+            # the probe would just memset tens of GB of host RAM
+            print("hbm probe: cpu backend has no device arena; skipped",
+                  file=sys.stderr)
+        else:
+            hbm_peak_gb, hbm_peak_source = ballast_probe()
+
+    # Compile-time HBM reservation — LAST among the probes: the re-lowered
+    # executable's device arena can coexist with (and at million-node scale
+    # evict/pin) the training program's, which was measured to depress the
+    # timed steps/s 0.16 -> 0.06 at 1M nodes when this ran before the loop
+    # and to zero out the ballast probe's headroom when it ran before that.
+    hbm = footprint(params, opt_state, key)
+    hbm_program_gb = hbm["total_gb"] if hbm else None
+    if hbm is not None:
+        print(f"train-step program HBM: {hbm['total_gb']} GB "
+              f"(XLA buffer assignment: args {hbm['args_gb']} + temps "
+              f"{hbm['temp_gb']} + out {hbm['out_gb']} - alias "
+              f"{hbm['alias_gb']})", file=sys.stderr)
 
     record = {
         "n_nodes": n, "nnz": int(adj.nnz),

@@ -63,8 +63,21 @@ def measure_spmv(op, d: int, kernel_precision: str = "split2",
 
     d_sub = sublane_pad(d)
     n = int(tiles.n)
-    xT = jnp.asarray(np.random.RandomState(7).rand(d_sub, n)
-                     .astype(np.float32))
+    # deallocation through the axon tunnel is asynchronous and a caller may
+    # have just done arena-heavy work — retry the first allocation briefly
+    # instead of crashing (the demo also orders its probes so the OOM-driving
+    # ballast probe runs AFTER this measurement)
+    host_x = np.random.RandomState(7).rand(d_sub, n).astype(np.float32)
+    for attempt in range(4):
+        try:
+            xT = jax.block_until_ready(jnp.asarray(host_x))
+            break
+        except Exception as e:
+            if attempt == 3 or "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            import gc
+            gc.collect()
+            time.sleep(5)
     # the big FLOAT leaves ride as jit ARGUMENTS (examples/large_graph.py's
     # million-node plumbing: closure constants embed in the compile request,
     # which the axon tunnel caps at ~256 MB); the int index arrays stay
