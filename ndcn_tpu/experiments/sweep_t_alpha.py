@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alpha_values", type=float, nargs="+",
                    default=[0.0, 0.25, 0.5, 0.75, 1.0])
     p.add_argument("--out_csv", type=str, default="results/t_alpha_grid.csv")
+    p.add_argument("--resume", action="store_true",
+                   help="skip (T, alpha) cells already present in the "
+                        "sidecar cell log (<out_csv>.cells) — a crashed "
+                        "sweep restarts where it died instead of losing "
+                        "finished cells")
     p.add_argument("--heatmap", action="store_true")
     p.add_argument("--surface", action="store_true",
                    help="3-D accuracy surface over the T x alpha grid "
@@ -48,8 +53,33 @@ def main(argv=None):
 
     grid = np.zeros((len(args.T_values), len(args.alpha_values)))
     grid_std = np.zeros_like(grid)  # 0 for single-replica cells
+
+    # Sidecar per-cell log: one "T,alpha,acc,std" line appended as each cell
+    # finishes, so a crash (e.g. a TPU-tunnel drop an hour into the grid)
+    # loses at most the in-flight cell; --resume replays it.
+    cells_path = args.out_csv + ".cells"
+    os.makedirs(os.path.dirname(args.out_csv) or ".", exist_ok=True)
+    done: dict[tuple[float, float], tuple[float, float]] = {}
+    if args.resume and os.path.exists(cells_path):
+        with open(cells_path) as f:
+            for line in f:
+                parts = line.strip().split(",")
+                if len(parts) == 4:
+                    t_v, a_v, acc, std = (float(x) for x in parts)
+                    done[(t_v, a_v)] = (acc, std)
+        print(f"[sweep] resume: {len(done)} cells already in {cells_path}",
+              flush=True)
+    elif os.path.exists(cells_path):
+        os.remove(cells_path)
+
     for i, t_val in enumerate(args.T_values):
         for j, alpha in enumerate(args.alpha_values):
+            key = (float(t_val), float(alpha))
+            if key in done:
+                grid[i, j], grid_std[i, j] = done[key]
+                print(f"[sweep] T={t_val} alpha={alpha} "
+                      f"acc={grid[i, j]:.4f} (resumed)", flush=True)
+                continue
             cell_args = copy.deepcopy(args)
             cell_args.T = float(t_val)
             cell_args.alpha = float(alpha)
@@ -59,6 +89,9 @@ def main(argv=None):
             # accuracy; rows[-1][2] would be one arbitrary replica's number
             grid[i, j] = out.get("acc_mean") or out["rows"][-1][2]
             grid_std[i, j] = out.get("acc_std") or 0.0
+            with open(cells_path, "a") as f:
+                f.write(f"{t_val},{alpha},{grid[i, j]:.6f},"
+                        f"{grid_std[i, j]:.6f}\n")
             print(f"[sweep] T={t_val} alpha={alpha} acc={grid[i, j]:.4f}",
                   flush=True)
 
