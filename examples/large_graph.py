@@ -403,6 +403,20 @@ def main(argv=None):
         assert mesh_parity < 1e-4, "sharded step diverged from unsharded math"
 
     opt_state = opt.init(params)
+    if args.mesh:
+        # Commit the fresh opt state to the replicated mesh sharding like the
+        # params above (the drivers already do this — dgnn.py/dynamics.py mesh
+        # branches). optax's init leaves its int32[] step counter UNCOMMITTED,
+        # so the first step call keys the jit cache on UnspecifiedValue while
+        # the RETURNED state comes back committed as NamedSharding P() — the
+        # second call then recompiles the whole train step INSIDE the timed
+        # loop. Through the axon tunnel that silent recompile is ~40 s at the
+        # 200k shape: it alone turned the measured 2.33 steps/s into the 0.90
+        # of the first scale_200k_heat_mesh.json (60 iters / (25.8 s + 40 s)),
+        # masquerading as a 2.6x shard_map tax that tools/analyze_mesh_tax.py
+        # shows does not exist (step_s 439 vs step_u 437 ms on the chip).
+        opt_state = jax.tree_util.tree_map(
+            lambda l: jax.device_put(l, rep), opt_state)
 
     # The FLOAT arrays (tile vals, x0, target) ride as jit ARGUMENTS, not
     # closures: closed-over arrays embed in the compiled program as constants,

@@ -264,6 +264,63 @@ def test_sharded_coo_training_step(mesh):
                                rtol=1e-5, atol=1e-7)
 
 
+def test_mesh_threaded_step_compiles_once(mesh):
+    """A donated, state-threading mesh train step must hit the jit cache on
+    every iteration after the first.
+
+    optax's ``init`` leaves its int32[] step counter UNCOMMITTED (no
+    sharding), so a step whose other arguments live as mesh-committed arrays
+    keys the first call on UnspecifiedValue while the RETURNED opt state
+    comes back committed (NamedSharding P()). Without committing the fresh
+    opt state up front, the SECOND call — inside the caller's timed loop —
+    silently recompiles the entire train step. Through the axon TPU tunnel at
+    200k nodes that recompile is ~40 s: it alone turned 2.33 steps/s into the
+    0.90 of the first scale_200k_heat_mesh.json, masquerading as a 2.6x
+    shard_map tax that tools/analyze_mesh_tax.py shows does not exist
+    (step_s 439.2 vs step_u 436.8 ms on the chip). examples/large_graph.py
+    now commits the opt state like the drivers always did."""
+    import scipy.sparse as sp
+    from ndcn_tpu.graph.sparse import from_scipy_coo
+    from ndcn_tpu.models import init_ndcn, ndcn_forward
+    from ndcn_tpu.parallel import replicated
+    from ndcn_tpu.parallel.coo_shard import shard_coo_rows
+    from ndcn_tpu.train.optim import make_sgd_step, torch_adam
+
+    n = 8 * mesh.devices.shape[1]
+    adj = generators.build_network("random", n, seed=0)
+    coo = from_scipy_coo(sp.csr_matrix(operators.normalized_laplacian(adj)))
+    vt = jnp.asarray(np.linspace(0.0, 1.0, 4), jnp.float32)
+    with mesh:
+        rs = shard_coo_rows(coo, mesh)
+        x0 = jax.device_put(
+            jnp.asarray(np.random.RandomState(1).rand(n, 1), jnp.float32),
+            node_sharding(mesh))
+        target = jax.device_put(jnp.zeros((4, n, 1), jnp.float32),
+                                jax.sharding.NamedSharding(
+                                    mesh, jax.sharding.PartitionSpec(
+                                        None, "model", None)))
+        rep = replicated(mesh)
+        params = jax.tree_util.tree_map(
+            lambda l: jax.device_put(l, rep),
+            init_ndcn(jax.random.PRNGKey(0), 1, 6, 1))
+        opt = torch_adam(0.01, 1e-3)
+
+        def objective(p, _rng):
+            out, _ = ndcn_forward(p, rs, vt, x0, method="rk4", max_steps=8)
+            return jnp.mean(jnp.abs(out - target)), 0.0
+
+        step = jax.jit(make_sgd_step(opt, objective), donate_argnums=(0, 1))
+        opt_state = jax.tree_util.tree_map(
+            lambda l: jax.device_put(l, rep), opt.init(params))
+        key = jax.random.PRNGKey(2)
+        for _ in range(3):  # thread the donated state like the demo's loop
+            params, opt_state, loss, _ = step(params, opt_state, key)
+        jax.block_until_ready(loss)
+    assert np.isfinite(float(loss))
+    assert step._cache_size() == 1, \
+        "threaded mesh step recompiled mid-loop (uncommitted opt state?)"
+
+
 @pytest.mark.parametrize("n_devices", [2, 4, 8])
 def test_dryrun_multichip_device_counts(n_devices):
     """The driver may probe various mesh sizes; all must factor and run."""
