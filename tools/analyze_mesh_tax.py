@@ -25,6 +25,19 @@ donate_argnums=(0, 1). The *_d variants replicate that builder and bisect:
   step_sdh             hoist only (no donation)
   step_sdd             donation only (op fully closure-captured)
 
+VERDICT (results/mesh_tax_bisect_200k.json, TPU v5 lite): steady-state
+sharded == unsharded in every pairing — step_sd 414.4 vs step_ud 415.6 ms,
+fwd_s 206.8 vs fwd_u 210.3 ms (plain-jit variants within the same band,
+436-496 ms across runs). The donating variants' FIRST timed rep captures the
+culprit on the chip: step_sdd rep1 = 38,958 ms — the ~40 s mid-loop
+RECOMPILE caused by threading a mesh-committed output state into a call
+keyed on optax's uncommitted int32 step counter (step_sd's rep1 is 6.8 s
+only because it hit the persistent compile cache). That one recompile inside
+the 60-iter timed loop is the whole 0.90-vs-2.33 story; the demo now commits
+the opt state up front (examples/large_graph.py) and
+tests/test_parallel.py::test_mesh_threaded_step_compiles_once guards it.
+Donation+hoist is otherwise ~5% FASTER than the plain jit (buffer reuse).
+
 Usage (idle host; detached with a generous timeout — axon tunnel rules):
   python tools/analyze_mesh_tax.py --n 200000 --kernel_precision bf16 \
       --time --reps 3 --out /tmp/mesh_tax.json
