@@ -401,6 +401,17 @@ def main(argv=None):
               f"{mesh_parity:.3e} ({float(l_s):.6f} vs {float(l_u):.6f})",
               file=sys.stderr)
         assert mesh_parity < 1e-4, "sharded step diverged from unsharded math"
+        # free the unsharded copies before the timed loop — at 1M nodes the
+        # operator (triplets + two tile packings) plus x0/target hold ~0.6 GB
+        # of HBM the sharded step needs; and apply the same triplet drop as
+        # the single-device path above: the tiled sharded matvec
+        # (parallel/coo_shard._rs_tiled_matvec) never reads the plain
+        # (p, m) row-block triplets
+        del op_u, x0_u, target_u, step_u, step_s
+        if model_op.tiles is not None and use_tiled_kernel():
+            model_op = model_op._replace(
+                local_rows=None, cols=None, vals=None,
+                local_rows_t=None, cols_t=None, vals_t=None)
 
     opt_state = opt.init(params)
     if args.mesh:
