@@ -355,6 +355,27 @@ def main(argv=None):
 
     opt = torch_adam(0.01, 1e-3)
 
+    def hoisted_parity_step(op_, x0_, target_):
+        """One-shot (undonated) train step with the big FLOAT leaves hoisted
+        to jit arguments — the same hoist build_step below documents. The
+        parity check must use it too: with the tile vals as closure
+        constants, lowering the 1M-node parity steps exceeds the axon
+        remote-compile request cap (HTTP 413 'length limit exceeded')."""
+        has_tiles_ = getattr(op_, "tiles", None) is not None
+
+        def step_fn(p, s, k, fl, x0a, ta):
+            tv, tvt = fl
+            opx = op_._replace(tiles=op_.tiles._replace(vals=tv),
+                               tiles_t=op_.tiles_t._replace(vals=tvt)) \
+                if has_tiles_ else op_
+            return make_sgd_step(opt, objective_with(opx, x0a, ta,
+                                                     max_steps))(p, s, k)
+
+        wrapped = jax.jit(step_fn)
+        fl = ((op_.tiles.vals, op_.tiles_t.vals) if has_tiles_
+              else (None, None))
+        return lambda p, s, k: wrapped(p, s, k, fl, x0_, target_)
+
     mesh_parity = None
     if args.mesh:
         if len(jax.devices()) < 2:
@@ -387,12 +408,8 @@ def main(argv=None):
         rep = replicated(mesh)
         params = jax.tree_util.tree_map(lambda l: jax.device_put(l, rep),
                                         params)
-        step_u = jax.jit(make_sgd_step(opt, objective_with(op_u, x0_u,
-                                                           target_u,
-                                                           max_steps)))
-        step_s = jax.jit(make_sgd_step(opt, objective_with(model_op, x0,
-                                                           target,
-                                                           max_steps)))
+        step_u = hoisted_parity_step(op_u, x0_u, target_u)
+        step_s = hoisted_parity_step(model_op, x0, target)
         pk = jax.random.PRNGKey(2)
         _, _, l_u, r_u = step_u(params, opt.init(params), pk)
         _, _, l_s, r_s = step_s(params, opt.init(params), pk)
