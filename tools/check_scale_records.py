@@ -28,7 +28,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEMO = os.path.join(REPO, "examples", "large_graph.py")
 
-DEFAULT_RECORDS = ["results/scale_200k_heat.json"]
+DEFAULT_RECORDS = ["results/scale_200k_heat.json",
+                   "results/scale_200k_heat_mesh.json"]
 
 
 def strip_flag(argv, flag, has_value=True):
@@ -76,6 +77,10 @@ def main(argv=None):
         rec_argv = rec["argv"]
         rec_argv = strip_flag(rec_argv, "--out")
         rec_argv = strip_flag(rec_argv, "--iters")
+        # the probes don't affect steps/s and dominate gate wall-clock
+        # (ballast bisection is ~10 extra step executions)
+        rec_argv = strip_flag(rec_argv, "--hbm_probe", has_value=False)
+        rec_argv = strip_flag(rec_argv, "--roofline", has_value=False)
         fresh = rerun(rec_argv, args.iters, args.timeout)
         now = float(fresh["train_steps_per_sec"])
         ratio = now / committed
